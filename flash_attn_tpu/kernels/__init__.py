@@ -1,0 +1,5 @@
+from flash_attn_tpu.kernels.block_sizes import BlockSizes
+from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+
+__all__ = ["BlockSizes", "flash_attention_fwd", "flash_attention_bwd"]

@@ -1,0 +1,81 @@
+"""Kernel tiling configuration.
+
+The reference picks its tiles with a hand-written dispatch table keyed on
+(head_dim, seqlen_k, arch, dropout) (reference:
+csrc/flash_attn/src/fmha_fprop_kernel_dispatch.cu:96-132 and the Python
+mirror flash_attn/flash_attn_interface.py:8-14). On TPU the analogous knob
+is a ``BlockSizes`` dataclass resolved at trace time: JAX specialization
+replaces template dispatch.
+
+Tiles must respect the TPU layout: the lane dimension is 128, so every
+block size along seq dims is a multiple of 128 (the minimum useful tile).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+MIN_BLOCK = 128
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Tile sizes for the flash-attention kernels.
+
+    Forward: grid cell = (block_q x block_k) score tile.
+    Backward dKV: iterates q tiles per kv tile (block_q_dkv x block_k_dkv).
+    Backward dQ:  iterates kv tiles per q tile (block_q_dq x block_k_dq).
+    """
+
+    block_q: int = 128
+    block_k: int = 128
+    block_q_dkv: int = 128
+    block_k_dkv: int = 128
+    block_q_dq: int = 128
+    block_k_dq: int = 128
+
+    def __post_init__(self):
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if v % MIN_BLOCK != 0:
+                raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")
+
+    @classmethod
+    def choose(
+        cls,
+        *,
+        seq_len_q: int,
+        seq_len_k: int,
+        head_dim: int,
+        dtype_bytes: int = 2,
+        dropout: bool = False,
+    ) -> "BlockSizes":
+        """Heuristic tile chooser (the TPU analog of the reference's
+        dispatch table). Larger q/k tiles amortize HBM traffic; the VMEM
+        budget (~16 MiB arithmetic + double buffering) caps them.
+        """
+        d_pad = max(_round_up(head_dim, LANES), LANES)
+        # Score tile fp32 (bq x bk) dominates; keep bq*bk <= 512*512.
+        if d_pad <= 128:
+            bq, bk = 512, 512
+        else:
+            bq, bk = 256, 512
+        bq = min(bq, _round_up(seq_len_q, MIN_BLOCK))
+        bk = min(bk, _round_up(seq_len_k, MIN_BLOCK))
+        # Backward tiles: the dkv kernel holds (k, v, dk, dv) tiles plus the
+        # recomputed score tile; keep them a bit smaller.
+        bq_b = min(256, _round_up(seq_len_q, MIN_BLOCK))
+        bk_b = min(256, _round_up(seq_len_k, MIN_BLOCK))
+        return cls(
+            block_q=bq,
+            block_k=bk,
+            block_q_dkv=bq_b,
+            block_k_dkv=bk_b,
+            block_q_dq=bq_b,
+            block_k_dq=bk_b,
+        )

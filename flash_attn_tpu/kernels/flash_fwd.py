@@ -1,0 +1,309 @@
+"""Pallas TPU flash-attention forward kernel.
+
+TPU-native redesign of the reference forward pass (reference:
+csrc/flash_attn/src/fmha_fprop_kernel_1xN.h). The reference is
+K/V-stationary with fp32 partial-O round-trips through global memory
+(fmha_api.cpp:190-191, o_tmp); on TPU the VMEM carry is free and HBM
+round-trips are not, so this kernel is **Q-stationary**: grid
+(batch, head, q_block, kv_block) with the online-softmax running statistics
+(m, l) and the fp32 output accumulator carried in VMEM scratch across the
+kv_block (innermost, "arbitrary") grid dimension.
+
+Semantics reproduced from the reference (SURVEY.md section 2.3):
+  - online softmax with fp32 (m, l) statistics and the rescale rule
+    acc_new = acc_prev * exp(m_prev - m_next) + exp(s - m_next) @ V
+  - causal + sequence-length masking; degenerate rows (no valid key)
+    produce out = 0 and lse = -inf (fmha_fprop_kernel_1xN.h:617,645)
+  - returns per-row fp32 logsumexp (b, h, sq)
+  - dropout applied to the un-normalized probabilities with the global
+    1/(1-p) rescale folded into the final normalization
+    (fmha_api.cpp:100-107 rp_dropout)
+  - varlen via per-token positions + segment ids (the TPU-idiomatic
+    encoding of cu_seqlens; converters live in ops/packing.py)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.kernels import prng
+from flash_attn_tpu.kernels.block_sizes import BlockSizes
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+NUM_LANES = 128
+
+
+def _fwd_kernel(
+    *refs,
+    sq: int,
+    sk: int,
+    block_q: int,
+    block_k: int,
+    num_k_blocks: int,
+    causal: bool,
+    has_segments: bool,
+    scale: float,
+    p_drop: float,
+    num_heads: int,
+):
+    idx = 0
+    if p_drop > 0.0:
+        seed_ref = refs[idx]
+        idx += 1
+    q_ref, k_ref, v_ref = refs[idx : idx + 3]
+    idx += 3
+    if has_segments:
+        qpos_ref, kpos_ref, qseg_ref, kseg_ref = refs[idx : idx + 4]
+        idx += 4
+    o_ref, lse_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 5]
+
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        # Finite init (not -inf) so alpha = exp(m_prev - m_next) never hits
+        # the NaN-producing (-inf) - (-inf) on fully-masked rows.
+        m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def _compute():
+        q = q_ref[0, 0]  # (block_q, d)
+        k = k_ref[0, 0]  # (block_k, d)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * jnp.float32(scale)
+
+        rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            + iq * block_q
+        )
+        cols = (
+            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            + ik * block_k
+        )
+        # Static bounds mask: padded key columns never contribute.
+        mask = cols < sk
+        if has_segments:
+            qs = qseg_ref[0][:, None]
+            ks = kseg_ref[0][None, :]
+            mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
+            if causal:
+                qp = qpos_ref[0][:, None]
+                kp = kpos_ref[0][None, :]
+                mask = mask & (qp >= kp)
+        elif causal:
+            mask = mask & (rows >= cols)
+
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[...]  # (block_q, NUM_LANES), lane-replicated
+        l_prev = l_ref[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        m_next = jnp.maximum(m_prev, m_curr)  # (block_q, NUM_LANES)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, 0:1])
+        # Explicit zero for masked slots: with the finite mask value, a
+        # fully-masked tile would otherwise yield p = exp(0) = 1.
+        p = jnp.where(mask, p, 0.0)
+        l_curr = jnp.sum(p, axis=1, keepdims=True)
+        l_ref[...] = alpha * l_prev + l_curr
+        m_ref[...] = m_next
+
+        if p_drop > 0.0:
+            bh = pl.program_id(0) * num_heads + pl.program_id(1)
+            keep = prng.keep_mask(
+                seed_ref[0, 0],
+                bh.astype(jnp.uint32),
+                rows.astype(jnp.uint32),
+                cols.astype(jnp.uint32),
+                p_drop,
+            )
+            p = jnp.where(keep, p, 0.0)
+
+        v = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha[:, 0:1] + pv
+
+    if causal and not has_segments:
+        # Skip kv blocks entirely above the diagonal (reference analog:
+        # fmha_fprop_kernel_1xN.h:302 skips q steps below the k block).
+        should_run = (iq + 1) * block_q - 1 >= ik * block_k
+        pl.when(should_run)(_compute)
+    else:
+        _compute()
+
+    @pl.when(ik == num_k_blocks - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        if p_drop > 0.0:
+            l_inv = l_inv * (1.0 / (1.0 - p_drop))
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        m0 = m_ref[...]
+        l0 = l_ref[...]
+        # Lane-replicated (block_q, NUM_LANES) store: keeps the write in the
+        # native layout (no lane->sublane relayout); callers slice [..., 0].
+        lse_ref[0, 0] = jnp.where(l0 == 0.0, -jnp.inf, m0 + jnp.log(l0))
+
+
+def flash_attention_fwd(
+    q: jax.Array,  # (b, h, sq_pad, d_pad)
+    k: jax.Array,  # (b, h, sk_pad, d_pad)
+    v: jax.Array,
+    q_positions: jax.Array | None,  # (b, sq_pad) int32
+    kv_positions: jax.Array | None,
+    q_segment_ids: jax.Array | None,  # (b, sq_pad) int32, -1 = padding
+    kv_segment_ids: jax.Array | None,
+    dropout_seed: jax.Array | None,  # () uint32
+    *,
+    sq: int,  # true (unpadded) lengths
+    sk: int,
+    causal: bool,
+    softmax_scale: float,
+    dropout_p: float = 0.0,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool = False,
+):
+    """Launch the forward kernel on block-aligned inputs.
+
+    Returns (out, lse): out (b, h, sq_pad, d_pad) in q.dtype, lse
+    (b, h, sq_pad, 128) fp32 lane-replicated (slice [..., 0] for the
+    per-row value). Rows >= sq are garbage and must be sliced by the
+    caller (ops/attention.py handles padding there).
+    """
+    b, h, sq_pad, d = q.shape
+    sk_pad = k.shape[2]
+    if block_sizes is None:
+        block_sizes = BlockSizes.choose(seq_len_q=sq, seq_len_k=sk, head_dim=d)
+    bq = min(block_sizes.block_q, sq_pad)
+    bk = min(block_sizes.block_k, sk_pad)
+    assert sq_pad % bq == 0 and sk_pad % bk == 0, (sq_pad, bq, sk_pad, bk)
+    num_q_blocks = sq_pad // bq
+    num_k_blocks = sk_pad // bk
+    has_segments = q_segment_ids is not None
+    p_drop = float(dropout_p)
+
+    grid = (b, h, num_q_blocks, num_k_blocks)
+
+    in_specs = []
+    args = []
+    if p_drop > 0.0:
+        assert dropout_seed is not None
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM
+            )
+        )
+        args.append(dropout_seed.reshape(1, 1).astype(jnp.uint32))
+    in_specs += [
+        pl.BlockSpec(
+            (1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args += [q, k, v]
+    if has_segments:
+        assert (
+            kv_segment_ids is not None
+            and q_positions is not None
+            and kv_positions is not None
+        )
+        in_specs += [
+            pl.BlockSpec(
+                (1, bq), lambda b_, h_, iq, ik: (b_, iq), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bk), lambda b_, h_, iq, ik: (b_, ik), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bq), lambda b_, h_, iq, ik: (b_, iq), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bk), lambda b_, h_, iq, ik: (b_, ik), memory_space=pltpu.VMEM
+            ),
+        ]
+        args += [
+            q_positions.astype(jnp.int32),
+            kv_positions.astype(jnp.int32),
+            q_segment_ids.astype(jnp.int32),
+            kv_segment_ids.astype(jnp.int32),
+        ]
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, sq_pad, NUM_LANES), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, bq, NUM_LANES), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
+        pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # l
+        pltpu.VMEM((bq, d), jnp.float32),  # acc
+    ]
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        sq=sq,
+        sk=sk,
+        block_q=bq,
+        block_k=bk,
+        num_k_blocks=num_k_blocks,
+        causal=causal,
+        has_segments=has_segments,
+        scale=float(softmax_scale),
+        p_drop=p_drop,
+        num_heads=h,
+    )
+
+    flops_mask = 0.5 if causal else 1.0
+    cost = pl.CostEstimate(
+        flops=int(4 * b * h * sq * sk * d * flops_mask),
+        bytes_accessed=int(
+            (q.size + k.size + v.size + q.size) * q.dtype.itemsize
+        ),
+        transcendentals=int(b * h * sq * sk * flops_mask),
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+    return out, lse

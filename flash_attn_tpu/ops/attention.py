@@ -1,0 +1,265 @@
+"""Public functional flash-attention API with custom VJP.
+
+The TPU-native analog of the reference's autograd layer
+(flash_attn/flash_attn_interface.py): a ``jax.custom_vjp`` wrapping the
+Pallas forward/backward kernels. Differences by design:
+
+  - No RNG-state save/restore protocol (reference
+    flash_attn_interface.py:43-63): the dropout mask is a pure function of
+    (seed, coordinates) (kernels/prng.py), so the only residual is the
+    integer seed.
+  - Varlen is encoded as per-token positions + segment ids; converters
+    from/to cu_seqlens live in ops/packing.py, and the reference's
+    cu_seqlens-based entry points are provided in ops/interface.py.
+  - Arbitrary (non-aligned) seqlens and head dims are handled here by
+    zero-padding to tile multiples and slicing back; the kernels mask
+    padded key columns by static bounds.
+
+Input layout: (batch, seq, heads, head_dim) — the flax convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.kernels.block_sizes import MIN_BLOCK, BlockSizes
+from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
+from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fit_block(limit: int, total: int) -> int:
+    """Largest multiple of MIN_BLOCK that divides ``total`` and is <= limit.
+
+    ``total`` must itself be a multiple of MIN_BLOCK.
+    """
+    assert total % MIN_BLOCK == 0
+    units = total // MIN_BLOCK
+    for d_units in range(min(limit // MIN_BLOCK, units), 0, -1):
+        if units % d_units == 0:
+            return d_units * MIN_BLOCK
+    raise AssertionError((limit, total))
+
+
+def default_interpret() -> bool:
+    """Pallas interpret mode when not on a TPU backend (tests run on CPU)."""
+    return jax.default_backend() != "tpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class _Config:
+    sq: int
+    sk: int
+    causal: bool
+    softmax_scale: float
+    dropout_p: float
+    has_segments: bool
+    block_sizes: BlockSizes
+    interpret: bool
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(cfg: _Config, q, k, v, seg, seed):
+    out, _ = _core_fwd(cfg, q, k, v, seg, seed)
+    return out
+
+
+def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed):
+    qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
+    return flash_attention_fwd(
+        q,
+        k,
+        v,
+        qpos,
+        kpos,
+        qseg,
+        kseg,
+        seed,
+        sq=cfg.sq,
+        sk=cfg.sk,
+        causal=cfg.causal,
+        softmax_scale=cfg.softmax_scale,
+        dropout_p=cfg.dropout_p,
+        block_sizes=cfg.block_sizes,
+        interpret=cfg.interpret,
+    )
+
+
+def _core_fwd(cfg, q, k, v, seg, seed):
+    return _core_fwd_impl(cfg, q, k, v, seg, seed)
+
+
+def _core_fwd_vjp(cfg, q, k, v, seg, seed):
+    out, lse = _core_fwd_impl(cfg, q, k, v, seg, seed)
+    return out, (q, k, v, seg, seed, out, lse)
+
+
+def _core_bwd_vjp(cfg, residuals, dout):
+    q, k, v, seg, seed, out, lse = residuals
+    qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
+    dq, dk, dv = flash_attention_bwd(
+        q,
+        k,
+        v,
+        out,
+        dout,
+        lse,
+        qpos,
+        kpos,
+        qseg,
+        kseg,
+        seed,
+        sq=cfg.sq,
+        sk=cfg.sk,
+        causal=cfg.causal,
+        softmax_scale=cfg.softmax_scale,
+        dropout_p=cfg.dropout_p,
+        block_sizes=cfg.block_sizes,
+        interpret=cfg.interpret,
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_core.defvjp(_core_fwd_vjp, _core_bwd_vjp)
+
+
+def flash_attention(
+    q: jax.Array,  # (b, sq, h, d)
+    k: jax.Array,  # (b, sk, h, d)
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    q_segment_ids: jax.Array | None = None,  # (b, sq) int32, -1 = padding
+    kv_segment_ids: jax.Array | None = None,
+    q_positions: jax.Array | None = None,  # (b, sq) int32 local positions
+    kv_positions: jax.Array | None = None,
+    dropout_p: float = 0.0,
+    dropout_seed: jax.Array | int | None = None,
+    block_sizes: BlockSizes | None = None,
+    return_lse: bool = False,
+    interpret: bool | None = None,
+):
+    """Fused flash attention. O = dropout(softmax(scale * Q K^T + mask)) V.
+
+    - ``causal``: lower-triangular masking; with ``q_positions`` /
+      ``kv_positions`` given, compares those (per-segment local positions)
+      instead of global indices.
+    - ``*_segment_ids``: tokens attend only within equal segment ids;
+      id -1 marks padding (attends to/from nothing, output row = 0).
+    - ``dropout_p``: probability of dropping an attention weight. Requires
+      ``dropout_seed`` (uint32 scalar or int). Same seed => bit-identical
+      mask in forward and backward, any tiling.
+    - ``return_lse``: also return the fp32 (b, h, sq) logsumexp.
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if k.shape != (b, sk, h, d) or v.shape != (b, sk, h, d):
+        raise ValueError(
+            f"q/k/v shape mismatch: {q.shape}, {k.shape}, {v.shape} "
+            "(MQA/GQA: broadcast KV heads before calling, or use the"
+            " decode kernels)"
+        )
+    if softmax_scale is None:
+        softmax_scale = d**-0.5
+    if interpret is None:
+        interpret = default_interpret()
+    if dropout_p < 0.0 or dropout_p >= 1.0:
+        raise ValueError(f"dropout_p must be in [0, 1), got {dropout_p}")
+    if dropout_p > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_p > 0 requires dropout_seed")
+
+    has_segments = q_segment_ids is not None
+    if has_segments and kv_segment_ids is None:
+        raise ValueError("q_segment_ids requires kv_segment_ids")
+    if has_segments and q_positions is None:
+        q_positions = jnp.broadcast_to(
+            jnp.arange(sq, dtype=jnp.int32)[None], (b, sq)
+        )
+    if has_segments and kv_positions is None:
+        kv_positions = jnp.broadcast_to(
+            jnp.arange(sk, dtype=jnp.int32)[None], (b, sk)
+        )
+
+    if block_sizes is None:
+        block_sizes = BlockSizes.choose(seq_len_q=sq, seq_len_k=sk, head_dim=d)
+
+    # --- resolve tiles and pad to multiples ---
+    # The forward block sets the padded length; the backward blocks are then
+    # fitted to the largest 128-multiple divisor of it within their limit,
+    # so every kernel's tiling divides the padded shapes exactly.
+    d_pad = _round_up(d, MIN_BLOCK)
+    bq = min(block_sizes.block_q, _round_up(sq, MIN_BLOCK))
+    bk = min(block_sizes.block_k, _round_up(sk, MIN_BLOCK))
+    sq_pad = _round_up(sq, bq)
+    sk_pad = _round_up(sk, bk)
+    block_sizes = dataclasses.replace(
+        block_sizes,
+        block_q=bq,
+        block_k=bk,
+        block_q_dkv=_fit_block(block_sizes.block_q_dkv, sq_pad),
+        block_k_dkv=_fit_block(block_sizes.block_k_dkv, sk_pad),
+        block_q_dq=_fit_block(block_sizes.block_q_dq, sq_pad),
+        block_k_dq=_fit_block(block_sizes.block_k_dq, sk_pad),
+    )
+
+    def pad_qkv(x, s_tgt):
+        pads = [(0, 0), (0, s_tgt - x.shape[1]), (0, 0), (0, d_pad - d)]
+        if any(p != (0, 0) for p in pads):
+            x = jnp.pad(x, pads)
+        # (b, s, h, d) -> (b, h, s, d)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    qp = pad_qkv(q, sq_pad)
+    kp = pad_qkv(k, sk_pad)
+    vp = pad_qkv(v, sk_pad)
+
+    seg = ()
+    if has_segments:
+
+        def pad_i32(x, s_tgt, fill):
+            if x.shape[1] != s_tgt:
+                x = jnp.pad(x, [(0, 0), (0, s_tgt - x.shape[1])],
+                            constant_values=fill)
+            return x.astype(jnp.int32)
+
+        seg = (
+            pad_i32(q_positions, sq_pad, 0),
+            pad_i32(kv_positions, sk_pad, 0),
+            pad_i32(q_segment_ids, sq_pad, -1),
+            pad_i32(kv_segment_ids, sk_pad, -1),
+        )
+
+    if dropout_seed is None:
+        seed = jnp.zeros((), jnp.uint32)
+    else:
+        seed = jnp.asarray(dropout_seed).astype(jnp.uint32)
+
+    cfg = _Config(
+        sq=sq,
+        sk=sk,
+        causal=causal,
+        softmax_scale=float(softmax_scale),
+        dropout_p=float(dropout_p),
+        has_segments=has_segments,
+        block_sizes=block_sizes,
+        interpret=interpret,
+    )
+
+    if return_lse:
+        # LSE consumers (e.g. ring attention) differentiate through the
+        # non-custom path is not supported; expose fwd-only here.
+        out, lse = _core_fwd_impl(cfg, qp, kp, vp, seg, seed)
+        out = jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
+        return out, lse[:, :, :sq, 0]
+
+    out = _flash_core(cfg, qp, kp, vp, seg, seed)
+    out = jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
+    return out

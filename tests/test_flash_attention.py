@@ -1,0 +1,116 @@
+"""Forward/backward correctness of the fused flash-attention op.
+
+Methodology mirrors the reference test suite (reference
+tests/test_flash_attn.py): dual-reference 2x error bound, deliberately
+non-aligned seqlens (97, 257) and non-power-of-2 head dims (56, 80), fp32 +
+bf16, causal and non-causal. Gradient checks — commented out in the
+reference pending its missing bwd kernel — are ACTIVE here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu import flash_attention
+from flash_attn_tpu.reference import attention_lse_ref, attention_ref
+from flash_attn_tpu.utils.testing import (
+    assert_two_x_bound,
+    max_err,
+    random_qkv,
+)
+
+
+def _to_bhsd(x):
+    return jnp.transpose(x, (0, 2, 1, 3))
+
+
+def _refs(q, k, v, **kw):
+    qb, kb, vb = map(_to_bhsd, (q, k, v))
+    ref32 = attention_ref(
+        qb.astype(jnp.float32), kb.astype(jnp.float32), vb.astype(jnp.float32), **kw
+    )
+    refnat = attention_ref(qb, kb, vb, upcast=False, **kw)
+    return jnp.transpose(ref32, (0, 2, 1, 3)), jnp.transpose(refnat, (0, 2, 1, 3))
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [32, 56, 64, 80, 128])
+@pytest.mark.parametrize("seqlen", [97, 128, 257, 384, 512])
+def test_fwd_dense(dtype, causal, d, seqlen):
+    rng = np.random.default_rng(seed=hash((causal, d, seqlen)) % 2**32)
+    b, h = 2, 2
+    q, k, v = random_qkv(rng, b, seqlen, seqlen, h, d, dtype)
+    out, lse = flash_attention(q, k, v, causal=causal, return_lse=True)
+    assert out.shape == q.shape and out.dtype == dtype
+    ref32, refnat = _refs(q, k, v, causal=causal)
+    atol = 2e-5 if dtype == jnp.float32 else 1e-4
+    assert_two_x_bound(out, ref32, refnat, atol=atol, label="out")
+    lse_ref = attention_lse_ref(
+        _to_bhsd(q).astype(jnp.float32),
+        _to_bhsd(k).astype(jnp.float32),
+        _to_bhsd(v).astype(jnp.float32),
+        causal=causal,
+    )
+    lse_tol = 1e-4 if dtype == jnp.float32 else 5e-2
+    assert max_err(lse, lse_ref) < lse_tol
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("sq,sk", [(128, 256), (200, 97), (257, 128)])
+def test_fwd_cross_attention(causal, sq, sk):
+    rng = np.random.default_rng(seed=sq * 1000 + sk)
+    b, h, d = 2, 3, 64
+    q, k, v = random_qkv(rng, b, sq, sk, h, d, jnp.bfloat16)
+    out = flash_attention(q, k, v, causal=causal)
+    ref32, refnat = _refs(q, k, v, causal=causal)
+    assert_two_x_bound(out, ref32, refnat, atol=1e-4, label="out")
+
+
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("d", [64, 80])
+@pytest.mark.parametrize("seqlen", [128, 257])
+def test_bwd_dense(dtype, causal, d, seqlen):
+    rng = np.random.default_rng(seed=1234 + d + seqlen)
+    b, h = 2, 2
+    q, k, v = random_qkv(rng, b, seqlen, seqlen, h, d, dtype)
+    g = jnp.asarray(rng.standard_normal((b, seqlen, h, d)), dtype=dtype)
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) * g)
+
+    def loss_ref(q, k, v, upcast):
+        qb, kb, vb = map(_to_bhsd, (q, k, v))
+        if upcast:
+            qb, kb, vb = (x.astype(jnp.float32) for x in (qb, kb, vb))
+        out = attention_ref(qb, kb, vb, causal=causal, upcast=upcast)
+        return jnp.sum(out * _to_bhsd(g).astype(out.dtype))
+
+    dq, dk, dv = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    dq32, dk32, dv32 = jax.grad(
+        lambda a, b_, c: loss_ref(a, b_, c, True), argnums=(0, 1, 2)
+    )(q, k, v)
+    dqn, dkn, dvn = jax.grad(
+        lambda a, b_, c: loss_ref(a, b_, c, False), argnums=(0, 1, 2)
+    )(q, k, v)
+    atol = 2e-4 if dtype == jnp.float32 else 2e-3
+    assert_two_x_bound(dq, dq32, dqn, atol=atol, label="dq")
+    assert_two_x_bound(dk, dk32, dkn, atol=atol, label="dk")
+    assert_two_x_bound(dv, dv32, dvn, atol=atol, label="dv")
+
+
+def test_degenerate_fully_masked_rows():
+    """Rows with no valid keys: out = 0, lse = -inf (reference rule,
+    fmha_fprop_kernel_1xN.h:617,645)."""
+    rng = np.random.default_rng(0)
+    b, s, h, d = 1, 128, 1, 64
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    seg = jnp.full((b, s), -1, jnp.int32).at[:, :64].set(0)
+    out, lse = flash_attention(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg, return_lse=True
+    )
+    np.testing.assert_array_equal(np.asarray(out[:, 64:]), 0.0)
+    assert bool(jnp.all(jnp.isneginf(lse[:, :, 64:])))
+    assert bool(jnp.all(jnp.isfinite(out[:, :64])))
