@@ -70,6 +70,9 @@ def _dkv_kernel(
 
     ik = pl.program_id(2)
     iq = pl.program_id(3)
+    # program_id must be read at kernel top level (the CPU interpreter does
+    # not substitute it inside pl.when branches).
+    bh = pl.program_id(0) * num_heads + pl.program_id(1)
 
     @pl.when(iq == 0)
     def _init():
@@ -105,7 +108,6 @@ def _dkv_kernel(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if p_drop > 0.0:
-            bh = pl.program_id(0) * num_heads + pl.program_id(1)
             keep = prng.keep_mask(
                 seed_ref[0, 0],
                 bh.astype(jnp.uint32),
@@ -172,6 +174,7 @@ def _dq_kernel(
 
     iq = pl.program_id(2)
     ik = pl.program_id(3)
+    bh = pl.program_id(0) * num_heads + pl.program_id(1)
 
     @pl.when(ik == 0)
     def _init():
@@ -205,7 +208,6 @@ def _dq_kernel(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if p_drop > 0.0:
-            bh = pl.program_id(0) * num_heads + pl.program_id(1)
             keep = prng.keep_mask(
                 seed_ref[0, 0],
                 bh.astype(jnp.uint32),

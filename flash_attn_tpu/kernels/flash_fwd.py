@@ -64,6 +64,9 @@ def _fwd_kernel(
 
     iq = pl.program_id(2)
     ik = pl.program_id(3)
+    # program_id must be read at kernel top level (the CPU interpreter does
+    # not substitute it inside pl.when branches).
+    bh = pl.program_id(0) * num_heads + pl.program_id(1)
 
     @pl.when(ik == 0)
     def _init():
@@ -118,7 +121,6 @@ def _fwd_kernel(
         m_ref[...] = m_next
 
         if p_drop > 0.0:
-            bh = pl.program_id(0) * num_heads + pl.program_id(1)
             keep = prng.keep_mask(
                 seed_ref[0, 0],
                 bh.astype(jnp.uint32),

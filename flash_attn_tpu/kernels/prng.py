@@ -22,18 +22,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_C0 = jnp.uint32(0x9E3779B1)  # golden-ratio odd constants for input mixing
-_C1 = jnp.uint32(0x85EBCA77)
-_C2 = jnp.uint32(0xC2B2AE3D)
-_M0 = jnp.uint32(0x7FEB352D)  # lowbias32 multipliers
-_M1 = jnp.uint32(0x846CA68B)
+# Python ints (not jnp arrays): inside a Pallas kernel trace, module-level
+# device arrays would be rejected as captured constants.
+_C0 = 0x9E3779B1  # golden-ratio odd constants for input mixing
+_C1 = 0x85EBCA77
+_C2 = 0xC2B2AE3D
+_M0 = 0x7FEB352D  # lowbias32 multipliers
+_M1 = 0x846CA68B
 
 
 def _mix32(x: jax.Array) -> jax.Array:
     x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
-    x = x * _M0
+    x = x * jnp.uint32(_M0)
     x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(15))
-    x = x * _M1
+    x = x * jnp.uint32(_M1)
     x = x ^ jax.lax.shift_right_logical(x, jnp.uint32(16))
     return x
 
@@ -43,9 +45,9 @@ def hash_coords(seed: jax.Array, bh: jax.Array, rows: jax.Array, cols: jax.Array
     seed = seed.astype(jnp.uint32)
     bh = bh.astype(jnp.uint32)
     x = (
-        rows.astype(jnp.uint32) * _C0
-        ^ cols.astype(jnp.uint32) * _C1
-        ^ bh * _C2
+        rows.astype(jnp.uint32) * jnp.uint32(_C0)
+        ^ cols.astype(jnp.uint32) * jnp.uint32(_C1)
+        ^ bh * jnp.uint32(_C2)
         ^ seed
     )
     # Two mixing rounds: one is already near-full avalanche, two gives
