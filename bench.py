@@ -1,0 +1,106 @@
+"""Official benchmark: attention fwd TFLOP/s/chip at S=4K (north star #1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the speedup over plain XLA (unfused) attention on the same
+chip — the TPU analog of the reference's "speedup vs PyTorch standard
+attention" headline (reference README.md:64-84).
+
+Timing: median of per-call block_until_ready() wall times (async dispatch
+through the axon tunnel is unreliable — see .claude/skills/verify).
+"""
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _readback(x):
+    """Force real synchronization: block_until_ready on the axon tunnel
+    does NOT wait for remote execution; only a device->host readback of a
+    value derived from the output does."""
+    return np.asarray(jnp.sum(x[..., :1, :1]))
+
+
+def _median_time(f, *args, iters=3, chain=8, vary=0):
+    """Robust per-call time on the axon tunnel (RTT ~27 ms, block_until_ready
+    lies): run an unrolled chain of ``chain+1`` calls where each output feeds
+    the next call's ``vary`` input (serialized, all-distinct data — immune to
+    XLA CSE and RPC caching), readback once, and compare against a single
+    call. Requires f's output shape == args[vary] shape."""
+
+    def chained(n):
+        @jax.jit
+        def g(*a):
+            a = list(a)
+            for _ in range(n):
+                a[vary] = f(*a)
+            return jnp.sum(a[vary][..., :1, :1])
+
+        return g
+
+    g1, gN = chained(1), chained(chain + 1)
+    np.asarray(g1(*args))  # compile + warm
+    np.asarray(gN(*args))
+    ts = []
+    for i in range(iters):
+        a = list(args)
+        a[vary] = a[vary] * (1.0 + 0.5 * i)  # real bf16 change
+        t0 = time.perf_counter()
+        np.asarray(g1(*a))
+        t1 = time.perf_counter()
+        np.asarray(gN(*a))
+        t2 = time.perf_counter()
+        ts.append(((t2 - t1) - (t1 - t0)) / chain)
+    return max(sorted(ts)[len(ts) // 2], 1e-9)
+
+
+def _xla_attention(q, k, v, scale):
+    """Plain (unfused, causal) attention — the baseline implementation."""
+    qb, kb, vb = (jnp.transpose(x, (0, 2, 1, 3)) for x in (q, k, v))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qb, kb).astype(jnp.float32) * scale
+    sl = s.shape[-1]
+    mask = jnp.tril(jnp.ones((sl, sl), bool))
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(vb.dtype)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, vb)
+    return jnp.transpose(o, (0, 2, 1, 3))
+
+
+def main():
+    from flash_attn_tpu import flash_attention
+
+    b, s, h, d = 4, 4096, 16, 128
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+
+    flash = jax.jit(functools.partial(flash_attention, causal=True))
+    t_flash = _median_time(flash, q, k, v)
+    flops = 4 * b * h * s * s * d * 0.5  # causal
+    tflops = flops / t_flash / 1e12
+
+    # XLA baseline at b=1 (the full batch materializes a 4 GB score tensor);
+    # compare per-example times.
+    naive = jax.jit(functools.partial(_xla_attention, scale=d**-0.5))
+    t_naive = _median_time(naive, q[:1], k[:1], v[:1], iters=5)
+    speedup = (t_naive * b) / t_flash
+
+    print(
+        json.dumps(
+            {
+                "metric": "attn_fwd_tflops_per_chip_s4k_causal_bf16",
+                "value": round(tflops, 2),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(speedup, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

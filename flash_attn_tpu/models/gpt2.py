@@ -1,0 +1,234 @@
+"""GPT-2 flagship model built on the fused flash-attention stack.
+
+The reference README positions flash-attention as the attention layer for
+BERT/GPT2/ViT (reference README.md:145); this module is the framework's
+end-to-end GPT-2: embeddings -> N x (LN -> FlashMHA -> LN -> MLP) -> LM
+head (weight-tied), with a training step (AdamW) and mesh-sharded variants
+(data parallel x head/feature tensor parallel) for multi-chip runs.
+
+Tensor-parallel layout (Megatron-style):
+  - Wqkv kernel   (e, 3e): P(None, 'model')   -> heads sharded
+  - out_proj      (e, e):  P('model', None)   -> psum by GSPMD
+  - MLP c_fc      (e, 4e): P(None, 'model')
+  - MLP c_proj    (4e, e): P('model', None)
+  - embeddings / layernorms: replicated
+Attention itself runs under shard_map (parallel/sharding.py) since Pallas
+kernels do not auto-partition under pjit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flash_attn_tpu.models.modules import FlashMHA, _seed_from_rng_key
+from flash_attn_tpu.ops.attention import flash_attention
+from flash_attn_tpu.parallel.sharding import make_sharded_flash_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    vocab_size: int = 50257
+    max_position_embeddings: int = 1024
+    n_layer: int = 12
+    n_head: int = 12
+    n_embd: int = 768
+    dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @classmethod
+    def small(cls, **kw):
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw):
+        d = dict(
+            vocab_size=512, max_position_embeddings=256, n_layer=2,
+            n_head=8, n_embd=128,
+        )
+        d.update(kw)
+        return cls(**d)
+
+
+class Mlp(nn.Module):
+    config: GPT2Config
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        x = nn.Dense(
+            4 * cfg.n_embd, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="c_fc",
+        )(x)
+        x = nn.gelu(x)
+        x = nn.Dense(
+            cfg.n_embd, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            name="c_proj",
+        )(x)
+        if cfg.dropout > 0.0:
+            x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Block(nn.Module):
+    config: GPT2Config
+    attn_impl: Optional[Callable] = None  # sharded attention override
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        h = nn.LayerNorm(dtype=cfg.dtype, name="ln_1")(x)
+        if self.attn_impl is None:
+            attn_out = FlashMHA(
+                embed_dim=cfg.n_embd,
+                num_heads=cfg.n_head,
+                causal=True,
+                attention_dropout=cfg.dropout,
+                dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype,
+                name="attn",
+            )(h, deterministic=deterministic)
+        else:
+            attn_out = _MhaWithImpl(
+                config=cfg, attn_impl=self.attn_impl, name="attn"
+            )(h, deterministic=deterministic)
+        x = x + attn_out
+        h = nn.LayerNorm(dtype=cfg.dtype, name="ln_2")(x)
+        x = x + Mlp(cfg, name="mlp")(h, deterministic=deterministic)
+        return x
+
+
+class _MhaWithImpl(nn.Module):
+    """FlashMHA-shaped block whose attention op is injected (used for the
+    shard_map-wrapped multi-device attention). Parameter tree is identical
+    to FlashMHA (Wqkv / out_proj)."""
+
+    config: GPT2Config
+    attn_impl: Callable = None
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        b, s, e = x.shape
+        hd = cfg.n_embd // cfg.n_head
+        qkv = nn.Dense(
+            3 * e, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="Wqkv"
+        )(x)
+        qkv = qkv.reshape(b, s, 3, cfg.n_head, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        seed = None
+        if cfg.dropout > 0.0 and not deterministic:
+            seed = _seed_from_rng_key(self.make_rng("dropout"))
+        ctx = self.attn_impl(q, k, v, dropout_seed=seed)
+        ctx = ctx.reshape(b, s, e)
+        return nn.Dense(
+            e, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="out_proj"
+        )(ctx)
+
+
+class GPT2LMHeadModel(nn.Module):
+    config: GPT2Config
+    attn_impl: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, input_ids, deterministic=True):
+        cfg = self.config
+        b, s = input_ids.shape
+        wte = self.param(
+            "wte",
+            nn.initializers.normal(0.02),
+            (cfg.vocab_size, cfg.n_embd),
+            cfg.param_dtype,
+        )
+        wpe = self.param(
+            "wpe",
+            nn.initializers.normal(0.01),
+            (cfg.max_position_embeddings, cfg.n_embd),
+            cfg.param_dtype,
+        )
+        x = wte[input_ids] + wpe[None, :s]
+        x = x.astype(cfg.dtype)
+        if cfg.dropout > 0.0:
+            x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        for i in range(cfg.n_layer):
+            x = Block(cfg, attn_impl=self.attn_impl, name=f"h_{i}")(
+                x, deterministic=deterministic
+            )
+        x = nn.LayerNorm(dtype=cfg.dtype, name="ln_f")(x)
+        logits = x.astype(jnp.float32) @ wte.T.astype(jnp.float32)
+        return logits
+
+
+def cross_entropy_loss(logits, labels):
+    """Next-token CE; labels == -100 are ignored."""
+    logits = logits[:, :-1]
+    labels = labels[:, 1:]
+    valid = labels != -100
+    labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def make_train_step(model: GPT2LMHeadModel, optimizer: optax.GradientTransformation):
+    """Returns train_step(params, opt_state, batch, dropout_key) ->
+    (params, opt_state, loss)."""
+
+    def loss_fn(params, batch, dropout_key):
+        rngs = {"dropout": dropout_key} if model.config.dropout > 0 else {}
+        logits = model.apply(
+            params, batch["input_ids"], deterministic=not rngs, rngs=rngs
+        )
+        return cross_entropy_loss(logits, batch["labels"])
+
+    def train_step(params, opt_state, batch, dropout_key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, dropout_key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def param_shardings(params, mesh: Mesh):
+    """Megatron-style NamedShardings for the GPT-2 parameter tree."""
+
+    def rule(path, x):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        joined = "/".join(str(n) for n in names)
+        if x.ndim == 2:
+            if "Wqkv" in joined or "c_fc" in joined:
+                return NamedSharding(mesh, P(None, "model"))
+            if "out_proj" in joined or "c_proj" in joined:
+                return NamedSharding(mesh, P("model", None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def make_sharded_model(cfg: GPT2Config, mesh: Mesh, interpret=None):
+    """GPT-2 whose attention runs under shard_map on the given mesh."""
+    attn_eval = make_sharded_flash_attention(
+        mesh, causal=True, dropout_p=0.0, interpret=interpret
+    )
+    attn_train = (
+        make_sharded_flash_attention(
+            mesh, causal=True, dropout_p=cfg.dropout, interpret=interpret
+        )
+        if cfg.dropout > 0.0
+        else attn_eval
+    )
+
+    def attn_impl(q, k, v, dropout_seed=None):
+        if dropout_seed is None:
+            return attn_eval(q, k, v)
+        return attn_train(q, k, v, dropout_seed=dropout_seed)
+
+    return GPT2LMHeadModel(cfg, attn_impl=attn_impl)

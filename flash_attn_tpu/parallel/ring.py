@@ -1,0 +1,113 @@
+"""Ring attention: sequence-parallel exact attention over an ICI ring.
+
+Generalizes the kernel's blockwise online-softmax carry across *devices*
+(SURVEY.md section 5 "Long-context"): each device owns a K/V shard; shards
+rotate around the mesh axis via ppermute while every device accumulates
+partial attention of its local Q against the shard currently resident.
+Partials merge with the same (m, l) rescale rule the kernel uses per tile —
+here expressed through the per-row logsumexp:
+
+    lse' = logaddexp(lse_a, lse_b)
+    o'   = o_a * exp(lse_a - lse') + o_b * exp(lse_b - lse')
+
+The ppermute for step i+1 is issued *before* step i's compute so XLA's
+latency-hiding scheduler can overlap the ICI transfer with the Pallas
+kernel (communication rides ICI; compute dominates for large local
+shards).
+
+Forward-only in this revision (inference / frozen-encoder use); the
+training-path custom_vjp for ring is tracked for a later round.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.kernels.block_sizes import BlockSizes
+from flash_attn_tpu.ops.attention import flash_attention
+
+
+def _merge_partials(o_a, lse_a, o_b, lse_b):
+    """Merge two attention partials (o in any float dtype, lse fp32).
+
+    Shapes: o (b, s, h, d), lse (b, h, s). Fully-masked partials carry
+    lse = -inf and must contribute exactly zero.
+    """
+    lse_new = jnp.logaddexp(lse_a, lse_b)
+
+    def w(lse_x):
+        # exp(-inf - -inf) -> NaN; force weight 0 for empty partials.
+        raw = jnp.exp(lse_x - lse_new)
+        return jnp.where(jnp.isneginf(lse_x), 0.0, raw)
+
+    w_a = jnp.transpose(w(lse_a), (0, 2, 1))[..., None]  # (b, s, h, 1)
+    w_b = jnp.transpose(w(lse_b), (0, 2, 1))[..., None]
+    o = o_a.astype(jnp.float32) * w_a + o_b.astype(jnp.float32) * w_b
+    return o, lse_new
+
+
+def ring_flash_attention(
+    q: jax.Array,  # (b, s_local, h, d) — local Q shard
+    k: jax.Array,  # (b, s_local, h, d) — local K shard
+    v: jax.Array,
+    *,
+    axis_name: str,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+):
+    """Exact attention over the full (sharded) sequence. Call inside
+    shard_map with q/k/v sharded along ``axis_name`` on the seq dim."""
+    n_dev = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    b, s_loc, h, d = q.shape
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    # Global positions of the local Q rows (for causal masking).
+    q_pos = (
+        jnp.broadcast_to(jnp.arange(s_loc, dtype=jnp.int32)[None], (b, s_loc))
+        + my_idx.astype(jnp.int32) * s_loc
+    )
+    zeros_seg = jnp.zeros((b, s_loc), jnp.int32)
+
+    o_acc = jnp.zeros((b, s_loc, h, d), jnp.float32)
+    lse_acc = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
+
+    kv = (k, v)
+    src = my_idx.astype(jnp.int32)
+    for step in range(n_dev):
+        if step < n_dev - 1:
+            # Issue the rotation for the NEXT step first: independent of this
+            # step's compute, so the ICI transfer overlaps the kernel.
+            kv_next = jax.lax.ppermute(kv, axis_name, perm)
+        k_cur, v_cur = kv
+        kv_pos = (
+            jnp.broadcast_to(
+                jnp.arange(s_loc, dtype=jnp.int32)[None], (b, s_loc)
+            )
+            + src * s_loc
+        )
+        o_i, lse_i = flash_attention(
+            q,
+            k_cur,
+            v_cur,
+            causal=causal,
+            softmax_scale=softmax_scale,
+            q_segment_ids=zeros_seg,
+            kv_segment_ids=zeros_seg,
+            q_positions=q_pos,
+            kv_positions=kv_pos,
+            block_sizes=block_sizes,
+            return_lse=True,
+            interpret=interpret,
+        )
+        o_acc, lse_acc = _merge_partials(o_acc, lse_acc, o_i, lse_i)
+        if step < n_dev - 1:
+            kv = kv_next
+            src = jnp.mod(src - 1, n_dev)  # the shard we now hold came from src-1
+
+    return o_acc.astype(q.dtype), lse_acc

@@ -1,0 +1,96 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from flash_attn_tpu import flash_attention
+from flash_attn_tpu.parallel.ring import ring_flash_attention
+from flash_attn_tpu.parallel.sharding import make_sharded_flash_attention
+from flash_attn_tpu.utils.testing import random_qkv
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    return Mesh(devices, axis_names=("data", "model"))
+
+
+def test_head_tp_matches_single_device(mesh):
+    rng = np.random.default_rng(0)
+    b, s, h, d = 4, 256, 8, 64  # batch 4 over data=2, heads 8 over model=4
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    ref = flash_attention(q, k, v, causal=True)
+    f = make_sharded_flash_attention(mesh, causal=True)
+    spec = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    out = jax.jit(f)(qs, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_head_tp_dropout_shard_seed_offsets(mesh):
+    """Each (data, model) shard must run with seed + shard offsets — exact
+    reproduction of every shard from single-device calls."""
+    rng = np.random.default_rng(1)
+    b, s, h, d = 2, 256, 8, 64
+    seed = 7
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    f = make_sharded_flash_attention(mesh, dropout_p=0.5)
+    spec = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    out = np.asarray(
+        jax.jit(lambda a, b_, c: f(a, b_, c, dropout_seed=seed))(qs, ks, vs)
+    )
+    h_loc, b_loc = h // 4, b // 2
+    for di in range(2):
+        for sh in range(4):
+            shard_seed = jnp.uint32(
+                (seed + sh * 0x9E3779B1 + di * 0x85EBCA77) % 2**32
+            )
+            sl_b = slice(di * b_loc, (di + 1) * b_loc)
+            sl_h = slice(sh * h_loc, (sh + 1) * h_loc)
+            expected = flash_attention(
+                q[sl_b, :, sl_h], k[sl_b, :, sl_h], v[sl_b, :, sl_h],
+                dropout_p=0.5, dropout_seed=shard_seed,
+            )
+            np.testing.assert_allclose(
+                out[sl_b, :, sl_h], np.asarray(expected), atol=1e-5,
+                err_msg=f"shard (data={di}, model={sh})",
+            )
+            # and a *different* shard's seed must NOT reproduce it
+            if sh == 0 and di == 0:
+                wrong = flash_attention(
+                    q[sl_b, :, sl_h], k[sl_b, :, sl_h], v[sl_b, :, sl_h],
+                    dropout_p=0.5,
+                    dropout_seed=jnp.uint32((seed + 0x9E3779B1) % 2**32),
+                )
+                assert not np.allclose(out[sl_b, :, sl_h], np.asarray(wrong))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_dense(mesh, causal):
+    rng = np.random.default_rng(2)
+    b, s, h, d = 2, 512, 2, 64  # seq 512 over model axis: 128/device
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    ref = flash_attention(q, k, v, causal=causal)
+
+    def ring(q, k, v):
+        out, _ = ring_flash_attention(q, k, v, axis_name="model", causal=causal)
+        return out
+
+    f = shard_map(
+        ring,
+        mesh=mesh,
+        in_specs=(P(None, "model", None, None),) * 3,
+        out_specs=P(None, "model", None, None),
+        check_vma=False,
+    )
+    out = jax.jit(f)(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
