@@ -1,0 +1,259 @@
+"""Blocksparse attention: public op, autograd, and reference-parity API.
+
+Surface parity with flash_attn/flash_blocksparse_attn_interface.py
+(``flash_blocksparse_attn_func``, ``convert_blockmask``) and the blocksparse
+semantics of the reference test oracle (tests/test_flash_attn.py:189-215):
+the (ceil(s/16), ceil(s/256)) 0/1 blockmask expands by repetition to an
+elementwise mask over the attention matrix, composed with key-padding and
+causal masks; fully-masked rows produce zero output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attn_tpu.kernels.blocksparse import (
+    BLOCK_K,
+    COL_CELL,
+    ROW_CELL,
+    BlockSparseLayout,
+    blocksparse_attention_bwd,
+    blocksparse_attention_fwd,
+    build_layout,
+    convert_blockmask,
+)
+from flash_attn_tpu.kernels.block_sizes import MIN_BLOCK
+from flash_attn_tpu.ops.attention import default_interpret
+
+
+def expand_blockmask(blockmask, sq: int, sk: int) -> jax.Array:
+    """Expand the (s/16, s/256)-cell mask to an elementwise (sq, sk) bool
+    mask (the reference oracle's repeat, tests/test_flash_attn.py:207)."""
+    bm = jnp.asarray(blockmask).astype(bool)
+    full = jnp.repeat(jnp.repeat(bm, ROW_CELL, axis=0), COL_CELL, axis=1)
+    return full[:sq, :sk]
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class _BsConfig:
+    sq: int
+    sk: int
+    sq_pad: int
+    sk_pad: int
+    block_q: int
+    causal: bool
+    softmax_scale: float
+    dropout_p: float
+    has_segments: bool
+    interpret: bool
+
+
+def _layout_from(cfg: _BsConfig, arrays) -> BlockSparseLayout:
+    kv_indices, kv_counts, q_indices, q_counts, rowmask = arrays
+    return BlockSparseLayout(
+        sq_pad=cfg.sq_pad,
+        sk_pad=cfg.sk_pad,
+        block_q=cfg.block_q,
+        kv_indices=kv_indices,
+        kv_counts=kv_counts,
+        q_indices=q_indices,
+        q_counts=q_counts,
+        rowmask=rowmask,
+        causal=cfg.causal,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bs_core(cfg: _BsConfig, q, k, v, lay, seg, seed):
+    out, _ = _bs_fwd(cfg, q, k, v, lay, seg, seed)
+    return out
+
+
+def _bs_fwd(cfg, q, k, v, lay, seg, seed):
+    qseg, kseg = seg if cfg.has_segments else (None, None)
+    return blocksparse_attention_fwd(
+        q, k, v, _layout_from(cfg, lay), qseg, kseg, seed,
+        sk=cfg.sk, softmax_scale=cfg.softmax_scale, dropout_p=cfg.dropout_p,
+        interpret=cfg.interpret,
+    )
+
+
+def _bs_fwd_vjp(cfg, q, k, v, lay, seg, seed):
+    out, lse = _bs_fwd(cfg, q, k, v, lay, seg, seed)
+    return out, (q, k, v, lay, seg, seed, out, lse)
+
+
+def _bs_bwd_vjp(cfg, residuals, dout):
+    q, k, v, lay, seg, seed, out, lse = residuals
+    qseg, kseg = seg if cfg.has_segments else (None, None)
+    dq, dk, dv = blocksparse_attention_bwd(
+        q, k, v, out, dout, lse, _layout_from(cfg, lay), qseg, kseg, seed,
+        sk=cfg.sk, softmax_scale=cfg.softmax_scale, dropout_p=cfg.dropout_p,
+        interpret=cfg.interpret,
+    )
+    return dq, dk, dv, None, None, None
+
+
+_bs_core.defvjp(_bs_fwd_vjp, _bs_bwd_vjp)
+
+
+def blocksparse_attention(
+    q: jax.Array,  # (b, sq, h, d)
+    k: jax.Array,
+    v: jax.Array,
+    blockmask,  # (ceil(sq/16), ceil(sk/256)) 0/1, or a BlockSparseLayout
+    *,
+    causal: bool = False,
+    softmax_scale: float | None = None,
+    key_padding_mask: jax.Array | None = None,  # (b, sk) bool, True = valid
+    dropout_p: float = 0.0,
+    dropout_seed=None,
+    block_q: int = 128,
+    return_lse: bool = False,
+    interpret: bool | None = None,
+):
+    """Fused blocksparse attention on dense (batch, seq, heads, dim) inputs."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if softmax_scale is None:
+        softmax_scale = d**-0.5
+    if interpret is None:
+        interpret = default_interpret()
+    if dropout_p > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_p > 0 requires dropout_seed")
+
+    if isinstance(blockmask, BlockSparseLayout):
+        layout = blockmask
+        if layout.causal != causal:
+            raise ValueError(
+                "layout was built with a different `causal` setting"
+            )
+    else:
+        layout = build_layout(
+            np.asarray(blockmask), sq=sq, sk=sk, block_q=block_q,
+            causal=causal,
+        )
+
+    d_pad = _round_up(d, MIN_BLOCK)
+    sq_pad, sk_pad = layout.sq_pad, layout.sk_pad
+
+    def pad_qkv(x, s_tgt):
+        pads = [(0, 0), (0, s_tgt - x.shape[1]), (0, 0), (0, d_pad - d)]
+        if any(p != (0, 0) for p in pads):
+            x = jnp.pad(x, pads)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    qp, kp, vp = pad_qkv(q, sq_pad), pad_qkv(k, sk_pad), pad_qkv(v, sk_pad)
+
+    has_segments = key_padding_mask is not None
+    seg = ()
+    if has_segments:
+        kpm = key_padding_mask.astype(bool)
+        qseg = jnp.where(kpm[:, :sq], 0, -1).astype(jnp.int32)
+        kseg = jnp.where(kpm, 0, -1).astype(jnp.int32)
+        qseg = jnp.pad(qseg, ((0, 0), (0, sq_pad - sq)), constant_values=-1)
+        kseg = jnp.pad(kseg, ((0, 0), (0, sk_pad - sk)), constant_values=-1)
+        seg = (qseg, kseg)
+
+    seed = (
+        jnp.zeros((), jnp.uint32)
+        if dropout_seed is None
+        else jnp.asarray(dropout_seed).astype(jnp.uint32)
+    )
+    cfg = _BsConfig(
+        sq=sq, sk=sk, sq_pad=sq_pad, sk_pad=sk_pad, block_q=layout.block_q,
+        causal=causal, softmax_scale=float(softmax_scale),
+        dropout_p=float(dropout_p), has_segments=has_segments,
+        interpret=interpret,
+    )
+    lay = (
+        layout.kv_indices, layout.kv_counts, layout.q_indices,
+        layout.q_counts, layout.rowmask,
+    )
+    if return_lse:
+        out, lse = _bs_fwd(cfg, qp, kp, vp, lay, seg, seed)
+        out = jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
+        return out, lse[:, :, :sq, 0]
+    out = _bs_core(cfg, qp, kp, vp, lay, seg, seed)
+    return jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
+
+
+def flash_blocksparse_attn_func(
+    qkv,  # packed (total, 3, h, d) with cu_seqlens, or dense (b, s, 3, h, d)
+    cu_seqlens,
+    blockmask,
+    dropout_p,
+    max_s,
+    softmax_scale=None,
+    causal=False,
+    return_attn_probs=False,
+    *,
+    dropout_seed=None,
+    convert_mask=True,  # accepted for API parity; layouts also accepted
+):
+    """Reference-parity entry point
+    (flash_blocksparse_attn_interface.py:135-142).
+
+    The packed (total, 3, h, d) + cu_seqlens form is re-batched to dense
+    (b, max_s) padded layout (the blockmask is defined in per-sequence
+    LOCAL coordinates, so each sequence must be re-aligned); requires a
+    concrete (non-traced) cu_seqlens.
+    """
+    del convert_mask
+    if qkv.ndim == 5:
+        b, s = qkv.shape[:2]
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        kpm = None
+    else:
+        cu = np.asarray(cu_seqlens)
+        lengths = np.diff(cu)
+        b, s = len(lengths), int(max_s)
+        total = qkv.shape[0]
+        # scatter packed rows to (b, max_s) dense
+        dest = np.concatenate(
+            [i * s + np.arange(li) for i, li in enumerate(lengths)]
+        ).astype(np.int32)
+        flat = jnp.zeros((b * s, *qkv.shape[1:]), qkv.dtype)
+        flat = flat.at[jnp.asarray(dest)].set(qkv[: len(dest)])
+        dense = flat.reshape(b, s, *qkv.shape[1:])
+        q, k, v = dense[:, :, 0], dense[:, :, 1], dense[:, :, 2]
+        kpm_np = np.zeros((b, s), bool)
+        for i, li in enumerate(lengths):
+            kpm_np[i, :li] = True
+        kpm = jnp.asarray(kpm_np)
+
+    res = blocksparse_attention(
+        q, k, v, blockmask,
+        causal=causal,
+        softmax_scale=softmax_scale,
+        key_padding_mask=kpm,
+        dropout_p=dropout_p,
+        dropout_seed=dropout_seed,
+        return_lse=return_attn_probs,
+    )
+    out = res[0] if return_attn_probs else res
+    if qkv.ndim != 5:
+        out_packed = out.reshape(b * s, *out.shape[2:])[jnp.asarray(dest)]
+        out = out_packed
+    if return_attn_probs:
+        return out, res[1], None
+    return out
+
+
+__all__ = [
+    "BlockSparseLayout",
+    "blocksparse_attention",
+    "build_layout",
+    "convert_blockmask",
+    "expand_blockmask",
+    "flash_blocksparse_attn_func",
+]
