@@ -5,6 +5,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+
+def default_interpret() -> bool:
+    """Pallas interpret mode when not on a TPU backend (tests run on CPU)."""
+    return jax.default_backend() != "tpu"
+
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
 

@@ -1,0 +1,119 @@
+"""GPT-2 autoregressive decode against the paged (optionally quantized)
+KV cache.
+
+Pure-function re-application of the ``GPT2LMHeadModel`` parameter tree
+(models/gpt2.py) split into the two serving phases:
+
+  - ``prefill``: run the prompt through the fused flash-attention forward,
+    returning per-layer K/V to be written into cache pages and the logits
+    of the last prompt token.
+  - ``decode_step``: one token per active sequence; each layer computes
+    qkv for the new token, appends K/V to its paged cache, and attends via
+    kernels/decode.paged_decode_attention.
+
+Numerics are verified against the training-path forward in
+tests/test_gpt2_decode.py (teacher forcing equality).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from flash_attn_tpu.kernels.decode import paged_decode_attention
+from flash_attn_tpu.models.gpt2 import GPT2Config
+from flash_attn_tpu.ops.attention import flash_attention
+from flash_attn_tpu.serving.cache import PagedKVCache, append_token
+
+
+def _layer_norm(x, p, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * p["scale"] + p["bias"]
+
+
+def _dense(x, p):
+    return x @ p["kernel"] + p["bias"]
+
+
+def _mlp(x, p):
+    h = jax.nn.gelu(_dense(x, p["c_fc"]))
+    return _dense(h, p["c_proj"])
+
+
+def _qkv(x, p, cfg: GPT2Config):
+    hd = cfg.n_embd // cfg.n_head
+    qkv = _dense(x, p["Wqkv"])
+    qkv = qkv.reshape(*x.shape[:-1], 3, cfg.n_head, hd)
+    return qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+
+
+def prefill(params, cfg: GPT2Config, input_ids: jax.Array):
+    """Run a batch of same-length prompts (b, s); returns (logits of last
+    token (b, vocab), per-layer k/v lists [(b, s, n_head, hd)])."""
+    p = params["params"]
+    b, s = input_ids.shape
+    x = p["wte"][input_ids] + p["wpe"][None, :s]
+    x = x.astype(cfg.dtype)
+    ks, vs = [], []
+    for i in range(cfg.n_layer):
+        lp = p[f"h_{i}"]
+        h = _layer_norm(x.astype(jnp.float32), lp["ln_1"]).astype(cfg.dtype)
+        q, k, v = _qkv(h, lp["attn"], cfg)
+        ks.append(k)
+        vs.append(v)
+        ctx = flash_attention(q, k, v, causal=True)
+        attn_out = _dense(ctx.reshape(b, s, cfg.n_embd), lp["attn"]["out_proj"])
+        x = x + attn_out.astype(cfg.dtype)
+        h = _layer_norm(x.astype(jnp.float32), lp["ln_2"]).astype(cfg.dtype)
+        x = x + _mlp(h, lp["mlp"]).astype(cfg.dtype)
+    x = _layer_norm(x.astype(jnp.float32), p["ln_f"])
+    logits = x[:, -1] @ p["wte"].T.astype(jnp.float32)
+    return logits, ks, vs
+
+
+def decode_step(
+    params,
+    cfg: GPT2Config,
+    caches: Sequence[PagedKVCache],
+    page_table: jax.Array,  # (batch, pages_max) int32
+    lengths: jax.Array,  # (batch,) int32 — tokens already in cache
+    token_ids: jax.Array,  # (batch,) int32 — the token at position `lengths`
+):
+    """One decode step for all sequences. Returns (logits (b, vocab),
+    new_caches). Sequences are padded slots; a slot with length < 0 is
+    inactive (still computed, caller ignores)."""
+    p = params["params"]
+    b = token_ids.shape[0]
+    pos = jnp.clip(lengths, 0, cfg.max_position_embeddings - 1)
+    x = p["wte"][token_ids] + p["wpe"][pos]
+    x = x.astype(cfg.dtype)[:, None]  # (b, 1, e)
+    new_caches = []
+    safe_len = jnp.maximum(lengths, 0)
+    for i in range(cfg.n_layer):
+        lp = p[f"h_{i}"]
+        h = _layer_norm(x.astype(jnp.float32), lp["ln_1"]).astype(cfg.dtype)
+        q, k, v = _qkv(h, lp["attn"], cfg)  # (b, 1, n_head, hd)
+        cache = append_token(
+            caches[i], k[:, 0], v[:, 0], page_table, safe_len
+        )
+        new_caches.append(cache)
+        ctx = paged_decode_attention(
+            jnp.swapaxes(q, 1, 2)[:, :, 0],  # (b, n_head, hd)
+            cache.k_pages,
+            cache.v_pages,
+            safe_len + 1,
+            page_table,
+            k_scales=cache.k_scales,
+            v_scales=cache.v_scales,
+        )
+        attn_out = _dense(ctx.reshape(b, cfg.n_embd), lp["attn"]["out_proj"])
+        x = x + attn_out.astype(cfg.dtype)[:, None]
+        h = _layer_norm(x.astype(jnp.float32), lp["ln_2"]).astype(cfg.dtype)
+        x = x + _mlp(h, lp["mlp"]).astype(cfg.dtype)
+    x = _layer_norm(x[:, 0].astype(jnp.float32), p["ln_f"])
+    logits = x @ p["wte"].T.astype(jnp.float32)
+    return logits, new_caches

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from flash_attn_tpu.kernels.block_sizes import MIN_BLOCK, BlockSizes
+from flash_attn_tpu.kernels.common import default_interpret
 from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
 from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
 
@@ -46,11 +47,6 @@ def _fit_block(limit: int, total: int) -> int:
         if units % d_units == 0:
             return d_units * MIN_BLOCK
     raise AssertionError((limit, total))
-
-
-def default_interpret() -> bool:
-    """Pallas interpret mode when not on a TPU backend (tests run on CPU)."""
-    return jax.default_backend() != "tpu"
 
 
 @dataclasses.dataclass(frozen=True)

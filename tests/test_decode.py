@@ -1,0 +1,181 @@
+"""Paged decode attention + quantized KV cache tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.kernels.decode import paged_decode_attention
+from flash_attn_tpu.reference import attention_ref
+from flash_attn_tpu.serving import quantization as qz
+from flash_attn_tpu.serving.cache import (
+    PageAllocator,
+    append_token,
+    init_cache,
+    write_prompt,
+)
+
+
+def _build_paged(rng, n_kv_heads, num_pages, page_size, d, batch, lengths,
+                 pages_per_seq):
+    """Random paged cache + the dense per-sequence K/V it represents."""
+    k_pages = jnp.asarray(
+        rng.standard_normal((n_kv_heads, num_pages, page_size, d)),
+        jnp.float32,
+    )
+    v_pages = jnp.asarray(
+        rng.standard_normal((n_kv_heads, num_pages, page_size, d)),
+        jnp.float32,
+    )
+    table = np.zeros((batch, pages_per_seq), np.int32)
+    used = iter(rng.permutation(num_pages))
+    dense_k, dense_v = [], []
+    for b, ln in enumerate(lengths):
+        n = (ln + page_size - 1) // page_size
+        ids = [next(used) for _ in range(n)]
+        table[b, :n] = ids
+        kk = jnp.concatenate([k_pages[:, i] for i in ids], axis=1)[:, :ln]
+        vv = jnp.concatenate([v_pages[:, i] for i in ids], axis=1)[:, :ln]
+        dense_k.append(kk)  # (h, ln, d)
+        dense_v.append(vv)
+    return k_pages, v_pages, jnp.asarray(table), dense_k, dense_v
+
+
+@pytest.mark.parametrize("group", [1, 4])
+def test_paged_decode_matches_oracle(group):
+    rng = np.random.default_rng(0)
+    n_kv, d, page_size, num_pages, pages_per_seq = 2, 64, 128, 16, 4
+    lengths = [100, 512, 1]
+    batch = len(lengths)
+    n_q = n_kv * group
+    q = jnp.asarray(rng.standard_normal((batch, n_q, d)), jnp.float32)
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, pages_per_seq
+    )
+    out = paged_decode_attention(
+        q, k_pages, v_pages, jnp.asarray(lengths, jnp.int32), table
+    )
+    assert out.shape == (batch, n_q, d)
+    for b, ln in enumerate(lengths):
+        for hq in range(n_q):
+            hk = hq // group
+            ref = attention_ref(
+                q[b, hq][None, None, None],  # (1,1,1,d)
+                dense_k[b][hk][None, None],
+                dense_v[b][hk][None, None],
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b, hq]), np.asarray(ref[0, 0, 0]),
+                atol=2e-5, rtol=1e-4, err_msg=f"b={b} hq={hq}",
+            )
+
+
+@pytest.mark.parametrize("method", ["int8", "fp8_e4m3"])
+def test_paged_decode_quantized(method):
+    rng = np.random.default_rng(1)
+    n_kv, d, page_size, num_pages = 2, 64, 128, 8
+    lengths = [200, 384]
+    batch = len(lengths)
+    q = jnp.asarray(rng.standard_normal((batch, n_kv, d)), jnp.float32)
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, 3
+    )
+    kq, ks = qz.quantize_pages(k_pages, method)
+    vq, vs = qz.quantize_pages(v_pages, method)
+    out = paged_decode_attention(
+        q, kq, vq, jnp.asarray(lengths, jnp.int32), table,
+        k_scales=ks, v_scales=vs,
+    )
+    # reference on the DEQUANTIZED cache (isolates kernel error from
+    # quantization error)
+    kd = qz.dequantize_pages(kq, ks)
+    vd = qz.dequantize_pages(vq, vs)
+    out_deq = paged_decode_attention(
+        q, kd, vd, jnp.asarray(lengths, jnp.int32), table
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_deq), atol=2e-4, rtol=1e-3
+    )
+    # and quantization error itself is bounded
+    out_exact = paged_decode_attention(
+        q, k_pages, v_pages, jnp.asarray(lengths, jnp.int32), table
+    )
+    err = float(jnp.max(jnp.abs(out - out_exact)))
+    assert err < (0.1 if method == "int8" else 0.2), err
+
+
+def test_write_prompt_and_append_roundtrip():
+    rng = np.random.default_rng(2)
+    n_kv, d, page_size, num_pages = 2, 32, 128, 8
+    cache = init_cache(n_kv, num_pages, page_size, d, dtype=jnp.float32)
+    prompt_len = 150
+    k = jnp.asarray(rng.standard_normal((prompt_len, n_kv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((prompt_len, n_kv, d)), jnp.float32)
+    page_ids = jnp.asarray([3, 5], jnp.int32)
+    cache = write_prompt(cache, k, v, page_ids)
+    got = jnp.concatenate([cache.k_pages[:, 3], cache.k_pages[:, 5]], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :prompt_len]),
+        np.asarray(jnp.transpose(k, (1, 0, 2))),
+        atol=1e-6,
+    )
+    # append two tokens
+    table = jnp.asarray([[3, 5, 0]], jnp.int32)
+    for i in range(2):
+        nk = jnp.asarray(rng.standard_normal((1, n_kv, d)), jnp.float32)
+        nv = jnp.asarray(rng.standard_normal((1, n_kv, d)), jnp.float32)
+        cache = append_token(
+            cache, nk, nv, table, jnp.asarray([prompt_len + i], jnp.int32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache.k_pages[:, 5, (prompt_len + i) % page_size]),
+            np.asarray(nk[0]),
+            atol=1e-6,
+        )
+
+
+def test_append_quantized_consistency():
+    """Token-wise appends must match whole-prompt quantized writes."""
+    rng = np.random.default_rng(3)
+    n_kv, d, page_size = 1, 32, 128
+    cache_a = init_cache(n_kv, 4, page_size, d, quantization="int8")
+    cache_b = init_cache(n_kv, 4, page_size, d, quantization="int8")
+    n = 128
+    k = jnp.asarray(rng.standard_normal((n, n_kv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((n, n_kv, d)), jnp.float32)
+    cache_a = write_prompt(cache_a, k, v, jnp.asarray([1], jnp.int32))
+    table = jnp.asarray([[1]], jnp.int32)
+    for i in range(n):
+        cache_b = append_token(
+            cache_b, k[i][None], v[i][None], table,
+            jnp.asarray([i], jnp.int32),
+        )
+    np.testing.assert_array_equal(
+        np.asarray(cache_a.k_pages[:, 1]), np.asarray(cache_b.k_pages[:, 1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_a.k_scales[:, 1]),
+        np.asarray(cache_b.k_scales[:, 1]),
+        rtol=1e-6,
+    )
+
+
+def test_page_allocator():
+    alloc = PageAllocator(num_pages=6, page_size=128, pages_per_seq=3)
+    p0 = alloc.alloc(0, 200)  # 2 pages
+    assert len(p0) == 2 and alloc.free_pages == 4
+    p1 = alloc.alloc(1, 100)
+    assert len(p1) == 1
+    new = alloc.extend(0, 300)  # needs a 3rd page
+    assert new is not None
+    assert alloc.extend(0, 300) is None  # already covered
+    row = alloc.table_row(0)
+    assert len(row) == 3
+    alloc.release(0)
+    assert alloc.free_pages == 5
+    assert alloc.can_admit(600)  # 5 pages free
+    # but 600 tokens need 5 pages > pages_per_seq=3 -> alloc refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        alloc.alloc(2, 600)

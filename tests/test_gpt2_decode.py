@@ -1,0 +1,149 @@
+"""GPT-2 decode path: teacher-forcing equality, serving engine, FP8-KV
+perplexity delta (north-star numerics bar)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+from flash_attn_tpu.models.gpt2_decode import decode_step, prefill
+from flash_attn_tpu.serving.cache import init_cache, write_prompt
+from flash_attn_tpu.serving.engine import ServingEngine
+
+
+def _setup(dtype=jnp.float32):
+    cfg = GPT2Config.tiny(dtype=dtype)
+    model = GPT2LMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    return cfg, model, params
+
+
+def test_prefill_matches_forward():
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 48)), jnp.int32)
+    logits_full = model.apply(params, ids)
+    logits_pre, ks, vs = prefill(params, cfg, ids)
+    np.testing.assert_allclose(
+        np.asarray(logits_pre), np.asarray(logits_full[:, -1]),
+        atol=2e-4, rtol=1e-4,
+    )
+    assert len(ks) == cfg.n_layer and ks[0].shape == (2, 48, cfg.n_head,
+                                                      cfg.n_embd // cfg.n_head)
+
+
+@pytest.mark.parametrize("quantization", [None, "fp8_e4m3"])
+def test_decode_matches_forward_teacher_forcing(quantization):
+    """prefill + N decode steps must reproduce the full forward's logits."""
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(2)
+    prompt_len, n_decode = 40, 8
+    total = prompt_len + n_decode
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, total)), jnp.int32)
+    logits_full = model.apply(params, ids)  # (1, total, vocab)
+
+    hd = cfg.n_embd // cfg.n_head
+    page_size, pages = 128, 4
+    caches = [
+        init_cache(cfg.n_head, pages, page_size, hd, dtype=jnp.float32,
+                   quantization=quantization)
+        for _ in range(cfg.n_layer)
+    ]
+    logits_pre, ks, vs = prefill(params, cfg, ids[:, :prompt_len])
+    page_ids = jnp.asarray([1], jnp.int32)
+    for li in range(cfg.n_layer):
+        caches[li] = write_prompt(caches[li], ks[li][0], vs[li][0], page_ids)
+    table = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+
+    tol = 2e-3 if quantization is None else 0.15
+    np.testing.assert_allclose(
+        np.asarray(logits_pre), np.asarray(logits_full[:, prompt_len - 1]),
+        atol=2e-3, rtol=1e-3,
+    )
+    lengths = jnp.asarray([prompt_len], jnp.int32)
+    for t in range(n_decode):
+        logits, caches = decode_step(
+            params, cfg, caches, table, lengths, ids[:, prompt_len + t]
+        )
+        ref = logits_full[:, prompt_len + t]
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(ref), atol=tol, rtol=tol,
+            err_msg=f"decode step {t}",
+        )
+        lengths = lengths + 1
+
+
+def test_fp8_kv_perplexity_delta():
+    """North-star bar: FP8-KV decode perplexity within 0.05 of bf16
+    (BASELINE.json), measured by teacher-forcing NLL over decode steps."""
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(3)
+    prompt_len, n_decode = 32, 32
+    ids = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (1, prompt_len + n_decode)), jnp.int32
+    )
+    hd = cfg.n_embd // cfg.n_head
+
+    def run(quantization):
+        caches = [
+            init_cache(cfg.n_head, 4, 128, hd, dtype=jnp.float32,
+                       quantization=quantization)
+            for _ in range(cfg.n_layer)
+        ]
+        _, ks, vs = prefill(params, cfg, ids[:, :prompt_len])
+        for li in range(cfg.n_layer):
+            caches[li] = write_prompt(
+                caches[li], ks[li][0], vs[li][0], jnp.asarray([1], jnp.int32)
+            )
+        table = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+        lengths = jnp.asarray([prompt_len], jnp.int32)
+        nll = 0.0
+        for t in range(n_decode - 1):
+            logits, caches = decode_step(
+                params, cfg, caches, table, lengths, ids[:, prompt_len + t]
+            )
+            logp = jax.nn.log_softmax(logits[0])
+            nll -= float(logp[int(ids[0, prompt_len + t + 1])])
+            lengths = lengths + 1
+        return nll / (n_decode - 1)
+
+    ppl_ref = float(np.exp(run(None)))
+    ppl_fp8 = float(np.exp(run("fp8_e4m3")))
+    assert abs(ppl_fp8 - ppl_ref) < 0.05 * ppl_ref + 0.05, (ppl_ref, ppl_fp8)
+
+
+def test_serving_engine_continuous_batching():
+    cfg, model, params = _setup()
+    engine = ServingEngine(
+        params, cfg, max_batch=3, num_pages=32, page_size=128,
+        pages_per_seq=2,
+    )
+    rng = np.random.default_rng(4)
+    ids = [
+        list(rng.integers(0, cfg.vocab_size, size=n))
+        for n in (20, 35, 11, 28, 5)
+    ]
+    for p in ids:
+        engine.submit(p, max_new_tokens=6)
+    finished = engine.run(max_steps=200)
+    assert len(finished) == 5
+    for req in finished:
+        assert len(req.generated) == 6
+        assert all(0 <= t < cfg.vocab_size for t in req.generated)
+
+    # engine generations must match a straight-line reference decode
+    req = finished[0]
+    full = list(ids[0])
+    model_ids = jnp.asarray(full, jnp.int32)[None]
+    gen_ref = []
+    for _ in range(6):
+        logits = model.apply(params, model_ids)
+        tok = int(jnp.argmax(logits[0, -1]))
+        gen_ref.append(tok)
+        model_ids = jnp.concatenate(
+            [model_ids, jnp.asarray([[tok]], jnp.int32)], axis=1
+        )
+    assert req.generated == gen_ref, (req.generated, gen_ref)
