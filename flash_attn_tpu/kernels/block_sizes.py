@@ -60,11 +60,15 @@ class BlockSizes:
         budget (~16 MiB arithmetic + double buffering) caps them.
         """
         d_pad = max(_round_up(head_dim, LANES), LANES)
-        # Score tile fp32 (bq x bk) dominates; keep bq*bk <= 512*512.
+        # Measured on v5e (benchmarks/bench_dev.py sweep, S=4K d=128 causal):
+        # bq=512/bk=1024 is ~1.7x faster than 512/512 — large kv blocks
+        # amortize per-step (m, l, acc) work and give the MXU bigger N/K
+        # dims; larger still loses to VMEM pressure and causal-skip
+        # granularity.
         if d_pad <= 128:
-            bq, bk = 512, 512
+            bq, bk = 512, 1024
         else:
-            bq, bk = 256, 512
+            bq, bk = 256, 1024
         bq = min(bq, _round_up(seq_len_q, MIN_BLOCK))
         bk = min(bk, _round_up(seq_len_k, MIN_BLOCK))
         # Backward tiles: the dkv kernel holds (k, v, dk, dv) tiles plus the

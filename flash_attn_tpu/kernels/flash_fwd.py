@@ -42,6 +42,7 @@ def _fwd_kernel(
     *refs,
     sq: int,
     sk: int,
+    sk_pad: int,
     block_q: int,
     block_k: int,
     num_k_blocks: int,
@@ -50,6 +51,7 @@ def _fwd_kernel(
     scale: float,
     p_drop: float,
     num_heads: int,
+    save_lse: bool,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -60,13 +62,19 @@ def _fwd_kernel(
     if has_segments:
         qpos_ref, kpos_ref, qseg_ref, kseg_ref = refs[idx : idx + 4]
         idx += 4
-    o_ref, lse_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 5]
+    if save_lse:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 5]
+    else:
+        o_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 4]
 
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     # program_id must be read at kernel top level (the CPU interpreter does
     # not substitute it inside pl.when branches).
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
+
+    # Which mask components can this launch ever need? (static)
+    bounds_possible = sk != sk_pad  # padded key columns at the last k block
 
     @pl.when(ik == 0)
     def _init():
@@ -76,46 +84,68 @@ def _fwd_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    def _compute():
+    def _compute(masked: bool):
         q = q_ref[0, 0]  # (block_q, d)
         k = k_ref[0, 0]  # (block_k, d)
+        # Unscaled scores; the softmax scale is folded into the (m, exp)
+        # math below as (bq, lanes)/FMA work instead of a full-tile multiply.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * jnp.float32(scale)
 
-        rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            + iq * block_q
-        )
-        cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            + ik * block_k
-        )
-        # Static bounds mask: padded key columns never contribute.
-        mask = cols < sk
-        if has_segments:
-            qs = qseg_ref[0][:, None]
-            ks = kseg_ref[0][None, :]
-            mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
-            if causal:
-                qp = qpos_ref[0][:, None]
-                kp = kpos_ref[0][None, :]
-                mask = mask & (qp >= kp)
-        elif causal:
-            mask = mask & (rows >= cols)
+        rows = cols = None
+        if masked or p_drop > 0.0:
+            rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                + iq * block_q
+            )
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+                + ik * block_k
+            )
 
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        mask = None
+        if masked:
+            mask = jnp.ones((block_q, block_k), jnp.bool_)
+            if bounds_possible:
+                # Padded key columns never contribute.
+                mask = cols < sk
+            if has_segments:
+                qs = qseg_ref[0][:, None]
+                ks = kseg_ref[0][None, :]
+                mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
+                if causal:
+                    qp = qpos_ref[0][:, None]
+                    kp = kpos_ref[0][None, :]
+                    mask = mask & (qp >= kp)
+            elif causal:
+                mask = mask & (rows >= cols)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[...]  # (block_q, NUM_LANES), lane-replicated
         l_prev = l_ref[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)  # (block_q, 1)
+        # exp2 trick (reference softmax.h:211-226): fold softmax_scale AND
+        # log2(e) into one constant, track m in the log2-scaled domain via a
+        # cheap (bq, 1) multiply (c > 0, so max(c*s) == c*max(s)); the score
+        # tile then needs only an FMA + exp2 per element.
+        c = jnp.float32(scale * 1.4426950408889634)  # scale * log2(e)
+        m_curr = jnp.max(s, axis=1, keepdims=True) * c
         m_next = jnp.maximum(m_prev, m_curr)  # (block_q, NUM_LANES)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, 0:1])
-        # Explicit zero for masked slots: with the finite mask value, a
-        # fully-masked tile would otherwise yield p = exp(0) = 1.
-        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s * c - m_next[:, 0:1])
+        if masked and has_segments:
+            # Explicit zero for masked slots: a row that is fully masked in
+            # this block but valid in a *later* one (possible only with
+            # segments, where a row's partner keys may start mid-sequence)
+            # would otherwise contribute p = exp2(0) = 1. Without segments,
+            # every row sees valid keys in kv block 0 (cols 0..r for causal;
+            # cols < sk for bounds), so m is genuine by the time any
+            # partially-masked block is processed and exp2(DMV*c - m)
+            # underflows to exactly 0.
+            p = jnp.where(mask, p, 0.0)
+
+        # The normalizer sums the *un-dropped* probabilities (dropout acts
+        # after softmax; the 1/(1-p) rescale is folded into finalize).
         l_curr = jnp.sum(p, axis=1, keepdims=True)
         l_ref[...] = alpha * l_prev + l_curr
         m_ref[...] = m_next
@@ -139,13 +169,34 @@ def _fwd_kernel(
         )
         acc_ref[...] = acc_ref[...] * alpha[:, 0:1] + pv
 
-    if causal and not has_segments:
-        # Skip kv blocks entirely above the diagonal (reference analog:
-        # fmha_fprop_kernel_1xN.h:302 skips q steps below the k block).
-        should_run = (iq + 1) * block_q - 1 >= ik * block_k
-        pl.when(should_run)(_compute)
+    if has_segments:
+        # Segment boundaries can fall anywhere: every block is masked.
+        _compute(masked=True)
     else:
-        _compute()
+        # Per-block mask requirement (traced): the last k block when sk is
+        # padded, and blocks intersecting the causal diagonal. Interior
+        # blocks take a mask-free fast path (no iota / compare / select
+        # passes over the score tile).
+        needs_mask = jnp.bool_(False)
+        if bounds_possible:
+            needs_mask = needs_mask | (ik == num_k_blocks - 1)
+        if causal:
+            # Not entirely below the diagonal: min_row < max_col.
+            needs_mask = needs_mask | (
+                iq * block_q < ik * block_k + block_k - 1
+            )
+            # Skip kv blocks entirely above the diagonal (reference analog:
+            # fmha_fprop_kernel_1xN.h:302 skips q steps below the k block).
+            should_run = (iq + 1) * block_q - 1 >= ik * block_k
+            pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
+            pl.when(should_run & jnp.logical_not(needs_mask))(
+                lambda: _compute(masked=False)
+            )
+        else:
+            pl.when(needs_mask)(lambda: _compute(masked=True))
+            pl.when(jnp.logical_not(needs_mask))(
+                lambda: _compute(masked=False)
+            )
 
     @pl.when(ik == num_k_blocks - 1)
     def _finalize():
@@ -154,11 +205,17 @@ def _fwd_kernel(
         if p_drop > 0.0:
             l_inv = l_inv * (1.0 / (1.0 - p_drop))
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
-        m0 = m_ref[...]
-        l0 = l_ref[...]
-        # Lane-replicated (block_q, NUM_LANES) store: keeps the write in the
-        # native layout (no lane->sublane relayout); callers slice [..., 0].
-        lse_ref[0, 0] = jnp.where(l0 == 0.0, -jnp.inf, m0 + jnp.log(l0))
+        if save_lse:
+            m0 = m_ref[...]  # log2-scaled domain: true max = m0 * ln2
+            l0 = l_ref[...]
+            # Lane-replicated (block_q, NUM_LANES) store: keeps the write in
+            # the native layout (no lane->sublane relayout); callers slice
+            # [..., 0].
+            lse_ref[0, 0] = jnp.where(
+                l0 == 0.0,
+                -jnp.inf,
+                m0 * jnp.float32(0.6931471805599453) + jnp.log(l0),
+            )
 
 
 def flash_attention_fwd(
@@ -178,6 +235,7 @@ def flash_attention_fwd(
     dropout_p: float = 0.0,
     block_sizes: BlockSizes | None = None,
     interpret: bool = False,
+    save_lse: bool = True,
 ):
     """Launch the forward kernel on block-aligned inputs.
 
@@ -185,6 +243,10 @@ def flash_attention_fwd(
     (b, h, sq_pad, 128) fp32 lane-replicated (slice [..., 0] for the
     per-row value). Rows >= sq are garbage and must be sliced by the
     caller (ops/attention.py handles padding there).
+
+    ``save_lse=False`` (inference): skips materializing the LSE tensor
+    entirely — (b, h, sq_pad, 128) fp32 is substantial HBM write traffic —
+    and returns (out, None).
     """
     b, h, sq_pad, d = q.shape
     sk_pad = k.shape[2]
@@ -210,19 +272,25 @@ def flash_attention_fwd(
             )
         )
         args.append(dropout_seed.reshape(1, 1).astype(jnp.uint32))
+    if causal and not has_segments:
+        # Causal-skipped kv blocks are never read: redirect their DMA to
+        # block 0 — the block the *next* q row starts with — so the pipeline
+        # prefetch does useful work instead of streaming dead K/V tiles
+        # (~half the kv traffic at long seqlen).
+        def kv_index(b_, h_, iq, ik):
+            run = (iq + 1) * bq - 1 >= ik * bk
+            return (b_, h_, jax.lax.select(run, ik, 0), 0)
+    else:
+        def kv_index(b_, h_, iq, ik):
+            return (b_, h_, ik, 0)
+
     in_specs += [
         pl.BlockSpec(
             (1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, 1, bk, d), lambda b_, h_, iq, ik: (b_, h_, ik, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        pl.BlockSpec((1, 1, bk, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, d), kv_index, memory_space=pltpu.VMEM),
     ]
     args += [q, k, v]
     if has_segments:
@@ -254,18 +322,23 @@ def flash_attention_fwd(
 
     out_shape = [
         jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
-        jax.ShapeDtypeStruct((b, h, sq_pad, NUM_LANES), jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec(
             (1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (1, 1, bq, NUM_LANES), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
-            memory_space=pltpu.VMEM,
-        ),
     ]
+    if save_lse:
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, sq_pad, NUM_LANES), jnp.float32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, bq, NUM_LANES), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
     scratch_shapes = [
         pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
         pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # l
@@ -276,6 +349,7 @@ def flash_attention_fwd(
         _fwd_kernel,
         sq=sq,
         sk=sk,
+        sk_pad=sk_pad,
         block_q=bq,
         block_k=bk,
         num_k_blocks=num_k_blocks,
@@ -284,6 +358,7 @@ def flash_attention_fwd(
         scale=float(softmax_scale),
         p_drop=p_drop,
         num_heads=h,
+        save_lse=save_lse,
     )
 
     flops_mask = 0.5 if causal else 1.0
@@ -295,7 +370,7 @@ def flash_attention_fwd(
         transcendentals=int(b * h * sq * sk * flops_mask),
     )
 
-    out, lse = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -308,4 +383,6 @@ def flash_attention_fwd(
         cost_estimate=cost,
         interpret=interpret,
     )(*args)
-    return out, lse
+    if save_lse:
+        return outs[0], outs[1]
+    return outs[0], None

@@ -63,11 +63,12 @@ class _Config:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_core(cfg: _Config, q, k, v, seg, seed):
-    out, _ = _core_fwd(cfg, q, k, v, seg, seed)
+    # Primal (inference) path: skip materializing the LSE tensor.
+    out, _ = _core_fwd_impl(cfg, q, k, v, seg, seed, save_lse=False)
     return out
 
 
-def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed):
+def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed, save_lse=True):
     qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
     return flash_attention_fwd(
         q,
@@ -85,11 +86,8 @@ def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed):
         dropout_p=cfg.dropout_p,
         block_sizes=cfg.block_sizes,
         interpret=cfg.interpret,
+        save_lse=save_lse,
     )
-
-
-def _core_fwd(cfg, q, k, v, seg, seed):
-    return _core_fwd_impl(cfg, q, k, v, seg, seed)
 
 
 def _core_fwd_vjp(cfg, q, k, v, seg, seed):
@@ -142,8 +140,15 @@ def flash_attention(
     block_sizes: BlockSizes | None = None,
     return_lse: bool = False,
     interpret: bool | None = None,
+    layout: str = "bshd",
 ):
     """Fused flash attention. O = dropout(softmax(scale * Q K^T + mask)) V.
+
+    ``layout``: "bshd" (default, the flax convention — transposed to the
+    kernel layout internally) or "bhsd" (the kernel-native layout; zero
+    relayout cost — use for benchmarks/serving paths that keep tensors
+    head-major, like the reference benchmark unpads outside the timed
+    region, reference benchmarks/benchmark_flash_attention.py:60-63).
 
     - ``causal``: lower-triangular masking; with ``q_positions`` /
       ``kv_positions`` given, compares those (per-segment local positions)
@@ -155,9 +160,17 @@ def flash_attention(
       mask in forward and backward, any tiling.
     - ``return_lse``: also return the fp32 (b, h, sq) logsumexp.
     """
-    b, sq, h, d = q.shape
-    sk = k.shape[1]
-    if k.shape != (b, sk, h, d) or v.shape != (b, sk, h, d):
+    if layout == "bshd":
+        b, sq, h, d = q.shape
+        sk = k.shape[1]
+        kv_shape = (b, sk, h, d)
+    elif layout == "bhsd":
+        b, h, sq, d = q.shape
+        sk = k.shape[2]
+        kv_shape = (b, h, sk, d)
+    else:
+        raise ValueError(f"layout must be 'bshd' or 'bhsd', got {layout!r}")
+    if k.shape != kv_shape or v.shape != kv_shape:
         raise ValueError(
             f"q/k/v shape mismatch: {q.shape}, {k.shape}, {v.shape} "
             "(MQA/GQA: broadcast KV heads before calling, or use the"
@@ -207,11 +220,16 @@ def flash_attention(
     )
 
     def pad_qkv(x, s_tgt):
-        pads = [(0, 0), (0, s_tgt - x.shape[1]), (0, 0), (0, d_pad - d)]
+        if layout == "bshd":
+            pads = [(0, 0), (0, s_tgt - x.shape[1]), (0, 0), (0, d_pad - d)]
+            if any(p != (0, 0) for p in pads):
+                x = jnp.pad(x, pads)
+            # (b, s, h, d) -> (b, h, s, d)
+            return jnp.transpose(x, (0, 2, 1, 3))
+        pads = [(0, 0), (0, 0), (0, s_tgt - x.shape[2]), (0, d_pad - d)]
         if any(p != (0, 0) for p in pads):
             x = jnp.pad(x, pads)
-        # (b, s, h, d) -> (b, h, s, d)
-        return jnp.transpose(x, (0, 2, 1, 3))
+        return x
 
     qp = pad_qkv(q, sq_pad)
     kp = pad_qkv(k, sk_pad)
@@ -249,13 +267,15 @@ def flash_attention(
         interpret=interpret,
     )
 
+    def unpack(out):
+        if layout == "bshd":
+            return jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
+        return out[:, :, :sq, :d]
+
     if return_lse:
         # LSE consumers (e.g. ring attention) differentiate through the
         # non-custom path is not supported; expose fwd-only here.
         out, lse = _core_fwd_impl(cfg, qp, kp, vp, seg, seed)
-        out = jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
-        return out, lse[:, :, :sq, 0]
+        return unpack(out), lse[:, :, :sq, 0]
 
-    out = _flash_core(cfg, qp, kp, vp, seg, seed)
-    out = jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
-    return out
+    return unpack(_flash_core(cfg, qp, kp, vp, seg, seed))
