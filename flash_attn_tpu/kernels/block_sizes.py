@@ -38,10 +38,20 @@ class BlockSizes:
     block_k_dkv: int = 128
     block_q_dq: int = 128
     block_k_dq: int = 128
+    # Forward MXU/VPU interleave: the (block_q x block_k) tile is processed
+    # as q_chains independent sub-q online-softmax chains whose QK^T dots
+    # are all issued before any softmax math, letting the VPU softmax of
+    # one chain overlap the MXU streams of the others (measured ~1.45x on
+    # v5e). Clamped at launch so block_q / q_chains stays a multiple of 128.
+    q_chains: int = 4
 
     def __post_init__(self):
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
+            if f.name == "q_chains":
+                if v < 1:
+                    raise ValueError(f"q_chains={v} must be >= 1")
+                continue
             if v % MIN_BLOCK != 0:
                 raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")
 
@@ -60,15 +70,16 @@ class BlockSizes:
         budget (~16 MiB arithmetic + double buffering) caps them.
         """
         d_pad = max(_round_up(head_dim, LANES), LANES)
-        # Measured on v5e (benchmarks/bench_dev.py sweep, S=4K d=128 causal):
-        # bq=512/bk=1024 is ~1.7x faster than 512/512 — large kv blocks
-        # amortize per-step (m, l, acc) work and give the MXU bigger N/K
-        # dims; larger still loses to VMEM pressure and causal-skip
-        # granularity.
+        # Measured on v5e (benchmarks/bench_dev.py sweeps, S=4K d=128
+        # causal): bq=1024/bk=1024 with 4 sub-q chains (256-row dots
+        # interleaved with softmax) reaches ~140 TFLOP/s vs ~57 for the
+        # naive 512/512 single-chain tiling. Large kv blocks amortize
+        # per-step (m, l, acc) work; larger still loses to VMEM pressure
+        # and causal-skip granularity.
         if d_pad <= 128:
-            bq, bk = 512, 1024
+            bq, bk = 1024, 1024
         else:
-            bq, bk = 256, 1024
+            bq, bk = 512, 1024
         bq = min(bq, _round_up(seq_len_q, MIN_BLOCK))
         bk = min(bk, _round_up(seq_len_k, MIN_BLOCK))
         # Backward tiles: the dkv kernel holds (k, v, dk, dv) tiles plus the

@@ -52,6 +52,7 @@ def _fwd_kernel(
     p_drop: float,
     num_heads: int,
     save_lse: bool,
+    q_chains: int,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -75,6 +76,7 @@ def _fwd_kernel(
 
     # Which mask components can this launch ever need? (static)
     bounds_possible = sk != sk_pad  # padded key columns at the last k block
+    bqs = block_q // q_chains  # sub-q chain height
 
     @pl.when(ik == 0)
     def _init():
@@ -85,89 +87,105 @@ def _fwd_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def _compute(masked: bool):
-        q = q_ref[0, 0]  # (block_q, d)
+        """Process the (block_q x block_k) tile as ``q_chains`` independent
+        sub-q chains: all QK^T dots are issued first (independent MXU
+        streams), then each chain's online-softmax runs — chains share no
+        state, so the VPU work of chain j overlaps the MXU streaming of
+        later dots / earlier PV products (measured ~1.45x on v5e vs a
+        single fused chain; benchmarks/bench_dev.py 'vard')."""
         k = k_ref[0, 0]  # (block_k, d)
-        # Unscaled scores; the softmax scale is folded into the (m, exp)
-        # math below as (bq, lanes)/FMA work instead of a full-tile multiply.
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-        rows = cols = None
-        if masked or p_drop > 0.0:
-            rows = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-                + iq * block_q
-            )
-            cols = (
-                jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-                + ik * block_k
-            )
-
-        mask = None
-        if masked:
-            mask = jnp.ones((block_q, block_k), jnp.bool_)
-            if bounds_possible:
-                # Padded key columns never contribute.
-                mask = cols < sk
-            if has_segments:
-                qs = qseg_ref[0][:, None]
-                ks = kseg_ref[0][None, :]
-                mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
-                if causal:
-                    qp = qpos_ref[0][:, None]
-                    kp = kpos_ref[0][None, :]
-                    mask = mask & (qp >= kp)
-            elif causal:
-                mask = mask & (rows >= cols)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-        m_prev = m_ref[...]  # (block_q, NUM_LANES), lane-replicated
-        l_prev = l_ref[...]
-        # exp2 trick (reference softmax.h:211-226): fold softmax_scale AND
-        # log2(e) into one constant, track m in the log2-scaled domain via a
-        # cheap (bq, 1) multiply (c > 0, so max(c*s) == c*max(s)); the score
-        # tile then needs only an FMA + exp2 per element.
-        c = jnp.float32(scale * 1.4426950408889634)  # scale * log2(e)
-        m_curr = jnp.max(s, axis=1, keepdims=True) * c
-        m_next = jnp.maximum(m_prev, m_curr)  # (block_q, NUM_LANES)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s * c - m_next[:, 0:1])
-        if masked and has_segments:
-            # Explicit zero for masked slots: a row that is fully masked in
-            # this block but valid in a *later* one (possible only with
-            # segments, where a row's partner keys may start mid-sequence)
-            # would otherwise contribute p = exp2(0) = 1. Without segments,
-            # every row sees valid keys in kv block 0 (cols 0..r for causal;
-            # cols < sk for bounds), so m is genuine by the time any
-            # partially-masked block is processed and exp2(DMV*c - m)
-            # underflows to exactly 0.
-            p = jnp.where(mask, p, 0.0)
-
-        # The normalizer sums the *un-dropped* probabilities (dropout acts
-        # after softmax; the 1/(1-p) rescale is folded into finalize).
-        l_curr = jnp.sum(p, axis=1, keepdims=True)
-        l_ref[...] = alpha * l_prev + l_curr
-        m_ref[...] = m_next
-
-        if p_drop > 0.0:
-            keep = prng.keep_mask(
-                seed_ref[0, 0],
-                bh.astype(jnp.uint32),
-                rows.astype(jnp.uint32),
-                cols.astype(jnp.uint32),
-                p_drop,
-            )
-            p = jnp.where(keep, p, 0.0)
-
         v = v_ref[0, 0]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[...] = acc_ref[...] * alpha[:, 0:1] + pv
+        # Phase 1: issue every chain's QK^T up front, register-resident.
+        ss = []
+        for j in range(q_chains):
+            qj = q_ref[0, 0, j * bqs : (j + 1) * bqs, :]  # (bqs, d)
+            ss.append(
+                jax.lax.dot_general(
+                    qj, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+
+        # Phase 2: per-chain online softmax + PV.
+        c = jnp.float32(scale * 1.4426950408889634)  # scale * log2(e)
+        for j in range(q_chains):
+            rows_sl = slice(j * bqs, (j + 1) * bqs)
+            row0 = iq * block_q + j * bqs  # global first row of this chain
+            s = ss[j]
+
+            rows = cols = None
+            if masked or p_drop > 0.0:
+                rows = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 0)
+                    + row0
+                )
+                cols = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 1)
+                    + ik * block_k
+                )
+
+            mask = None
+            if masked:
+                mask = jnp.ones((bqs, block_k), jnp.bool_)
+                if bounds_possible:
+                    # Padded key columns never contribute.
+                    mask = cols < sk
+                if has_segments:
+                    qs = qseg_ref[0][rows_sl][:, None]
+                    ks = kseg_ref[0][None, :]
+                    mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
+                    if causal:
+                        qp = qpos_ref[0][rows_sl][:, None]
+                        kp = kpos_ref[0][None, :]
+                        mask = mask & (qp >= kp)
+                elif causal:
+                    mask = mask & (rows >= cols)
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+            m_prev = m_ref[rows_sl]  # (bqs, NUM_LANES), lane-replicated
+            l_prev = l_ref[rows_sl]
+            # exp2 trick (reference softmax.h:211-226): softmax_scale AND
+            # log2(e) fold into one constant; m is tracked in the
+            # log2-scaled domain via a cheap (bqs, 1) multiply, so the
+            # score tile needs only an FMA + exp2 per element.
+            m_curr = jnp.max(s, axis=1, keepdims=True) * c
+            m_next = jnp.maximum(m_prev, m_curr)  # (bqs, NUM_LANES)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s * c - m_next[:, 0:1])
+            if masked and has_segments:
+                # Explicit zero for masked slots: a row fully masked in this
+                # block but valid in a *later* one (possible only with
+                # segments, where a row's partner keys may start
+                # mid-sequence) would otherwise contribute p = exp2(0) = 1.
+                # Without segments, every row sees valid keys in kv block 0
+                # (cols 0..r for causal; cols < sk for bounds), so m is
+                # genuine by the time any partially-masked block is
+                # processed and exp2(DMV*c - m) underflows to exactly 0.
+                p = jnp.where(mask, p, 0.0)
+
+            # The normalizer sums the *un-dropped* probabilities (dropout
+            # acts after softmax; the 1/(1-p) rescale folds into finalize).
+            l_curr = jnp.sum(p, axis=1, keepdims=True)
+            l_ref[rows_sl] = alpha * l_prev + l_curr
+            m_ref[rows_sl] = m_next
+
+            if p_drop > 0.0:
+                keep = prng.keep_mask(
+                    seed_ref[0, 0],
+                    bh.astype(jnp.uint32),
+                    rows.astype(jnp.uint32),
+                    cols.astype(jnp.uint32),
+                    p_drop,
+                )
+                p = jnp.where(keep, p, 0.0)
+
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha[:, 0:1] + pv
 
     if has_segments:
         # Segment boundaries can fall anywhere: every block is masked.
@@ -257,6 +275,11 @@ def flash_attention_fwd(
     assert sq_pad % bq == 0 and sk_pad % bk == 0, (sq_pad, bq, sk_pad, bk)
     num_q_blocks = sq_pad // bq
     num_k_blocks = sk_pad // bk
+    # Largest chain count <= requested that keeps the sub-q height a
+    # multiple of the 128-lane tile.
+    q_chains = max(1, min(block_sizes.q_chains, bq // 128))
+    while bq % (q_chains * 128) != 0:
+        q_chains -= 1
     has_segments = q_segment_ids is not None
     p_drop = float(dropout_p)
 
@@ -359,6 +382,7 @@ def flash_attention_fwd(
         p_drop=p_drop,
         num_heads=h,
         save_lse=save_lse,
+        q_chains=q_chains,
     )
 
     flops_mask = 0.5 if causal else 1.0
