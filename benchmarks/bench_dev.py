@@ -521,6 +521,29 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "parts"
     q, k, v = make_inputs()
 
+    if mode == "bwd":
+        import flash_attn_tpu.ops.attention as A
+
+        def loss(q, k, v, causal):
+            return jnp.sum(A.flash_attention(
+                q, k, v, causal=causal, layout="bhsd").astype(jnp.float32)
+                * 1e-3)
+
+        for causal in (True, False):
+            f = jax.jit(jax.grad(functools.partial(loss, causal=causal),
+                                 argnums=(0, 1, 2)))
+
+            def step(q, k, v):
+                dq, dk, dv = f(q, k, v)
+                return (dq + dk + dv).astype(q.dtype)  # consume all grads
+
+            t = median_time(jax.jit(step), q, k, v)
+            frac = 0.5 if causal else 1.0
+            # Standard accounting: fwd 2 matmuls + bwd 5 -> 3.5x fwd flops.
+            fl = 3.5 * 4 * B * H * S * S * D * frac / 2
+            print(f"fwd+bwd causal={causal}: {t*1e3:8.2f} ms "
+                  f"{fl/t/1e12:7.2f} TFLOP/s (3.5x-fwd accounting)")
+        return
     if mode == "cd":
         from flash_attn_tpu.kernels.flash_fwd import flash_attention_fwd
         for name, fn, cfgs in [

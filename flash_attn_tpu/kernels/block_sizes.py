@@ -82,10 +82,12 @@ class BlockSizes:
             bq, bk = 512, 1024
         bq = min(bq, _round_up(seq_len_q, MIN_BLOCK))
         bk = min(bk, _round_up(seq_len_k, MIN_BLOCK))
-        # Backward tiles: the dkv kernel holds (k, v, dk, dv) tiles plus the
-        # recomputed score tile; keep them a bit smaller.
-        bq_b = min(256, _round_up(seq_len_q, MIN_BLOCK))
-        bk_b = min(256, _round_up(seq_len_k, MIN_BLOCK))
+        # Backward tiles: the dkv kernel holds (k, v, dk, dv) tiles plus
+        # per-chain recomputed score/dp tiles; smaller q tiles than fwd keep
+        # VMEM in budget while kv tiles stay wide.
+        bq_b = min(512, _round_up(seq_len_q, MIN_BLOCK))
+        bk_b = min(1024 if d_pad <= 128 else 512,
+                   _round_up(seq_len_k, MIN_BLOCK))
         return cls(
             block_q=bq,
             block_k=bk,

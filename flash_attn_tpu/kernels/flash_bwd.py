@@ -19,6 +19,19 @@ Both recompute the normalized probabilities as p = exp(scale*q.k - lse)
 ``softmax_d`` correction of the reference contract. The dropout mask is
 regenerated bit-identically from global element coordinates
 (kernels/prng.py), so no mask tensor is ever stored.
+
+Performance structure (mirrors flash_fwd.py; measured on v5e):
+  - exp2 with softmax_scale * log2(e) folded into one constant; the saved
+    lse converts to the log2 domain with a cheap (rows, 1) multiply.
+  - interior blocks (fully below the causal diagonal, fully in-bounds)
+    take a mask-free fast path.
+  - each tile is processed as independent sub-chains whose leading dots
+    (QK^T and dO V^T — themselves mutually independent) are all issued
+    before any elementwise math, overlapping VPU and MXU work.
+  - the trailing *scale on dS distributes over the block sum, so it is
+    applied once to the fp32 accumulator at finalize instead of per tile.
+  - causal-skipped grid steps redirect their DMA to the next block that
+    will actually run.
 """
 
 from __future__ import annotations
@@ -32,22 +45,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.kernels import prng
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
-from flash_attn_tpu.kernels.common import NUM_LANES, attention_mask, block_coords
+from flash_attn_tpu.kernels.common import NUM_LANES
+
+LOG2E = 1.4426950408889634
 
 
-def _recompute_p(s, mask, lse_col):
-    """Normalized probabilities from the saved logsumexp ((block_q, 1)).
-
-    Masked (or fully-masked, lse = -inf) slots are forced to exactly zero;
-    the where() also stops inf/NaN from exp(s - (-inf)) escaping.
-    """
-    p = jnp.exp(s - lse_col)
-    return jnp.where(mask, p, 0.0)
+def _chain_mask(
+    rows, cols, *, sk, bounds_possible, causal, has_segments,
+    qpos, kpos, qseg, kseg, rows_sl,
+):
+    """Mask for one sub-chain tile; rows/cols are global coordinates."""
+    mask = jnp.ones(rows.shape, jnp.bool_)
+    if bounds_possible:
+        mask = cols < sk
+    if has_segments:
+        qs = qseg[rows_sl][:, None]
+        ks = kseg[None, :]
+        mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
+        if causal:
+            mask = mask & (qpos[rows_sl][:, None] >= kpos[None, :])
+    elif causal:
+        mask = mask & (rows >= cols)
+    return mask
 
 
 def _dkv_kernel(
     *refs,
     sk: int,
+    sk_pad: int,
     block_q: int,
     block_k: int,
     num_q_blocks: int,
@@ -56,6 +81,7 @@ def _dkv_kernel(
     scale: float,
     p_drop: float,
     num_heads: int,
+    chains: int,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -73,85 +99,124 @@ def _dkv_kernel(
     # program_id must be read at kernel top level (the CPU interpreter does
     # not substitute it inside pl.when branches).
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
+    bounds_possible = sk != sk_pad
+    bqs = block_q // chains
 
     @pl.when(iq == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    def _compute():
-        q = q_ref[0, 0]  # (bq, d)
+    def _compute(masked: bool):
         k = k_ref[0, 0]  # (bk, d)
         v = v_ref[0, 0]
-        do = do_ref[0, 0]  # (bq, d)
-        lse_col = lse_ref[0, 0][:, 0:1]  # (bq, 1), lane-replicated input
-        di_col = di_ref[0, 0][:, 0:1]  # (bq, 1)
+        c = jnp.float32(scale * LOG2E)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
-        rows, cols = block_coords(block_q, block_k, iq, ik)
-        mask = attention_mask(
-            rows,
-            cols,
-            sk=sk,
-            causal=causal,
-            q_pos=qpos_ref[0] if has_segments else None,
-            kv_pos=kpos_ref[0] if has_segments else None,
-            q_seg=qseg_ref[0] if has_segments else None,
-            kv_seg=kseg_ref[0] if has_segments else None,
-        )
-        p = _recompute_p(s, mask, lse_col)
+        # Phase 1: all chains' QK^T and dO V^T — 2*chains independent MXU
+        # streams, issued before any elementwise math.
+        ss, dps = [], []
+        for j in range(chains):
+            sl = slice(j * bqs, (j + 1) * bqs)
+            qj = q_ref[0, 0, sl, :]
+            doj = do_ref[0, 0, sl, :]
+            ss.append(jax.lax.dot_general(
+                qj, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dps.append(jax.lax.dot_general(
+                doj, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
 
-        # dp = dO @ V^T, w.r.t. the post-dropout probabilities.
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if p_drop > 0.0:
-            keep = prng.keep_mask(
-                seed_ref[0, 0],
-                bh.astype(jnp.uint32),
-                rows.astype(jnp.uint32),
-                cols.astype(jnp.uint32),
-                p_drop,
+        # Phase 2: per-chain P recompute + accumulator updates.
+        for j in range(chains):
+            sl = slice(j * bqs, (j + 1) * bqs)
+            row0 = iq * block_q + j * bqs
+            s, dp = ss[j], dps[j]
+            lse2 = lse_ref[0, 0, sl, 0:1] * jnp.float32(LOG2E)  # (bqs, 1)
+            di_col = di_ref[0, 0, sl, 0:1]
+
+            rows = cols = None
+            if masked or p_drop > 0.0:
+                rows = (jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 0)
+                        + row0)
+                cols = (jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 1)
+                        + ik * block_k)
+
+            # p = exp(scale * s - lse), in the log2 domain.
+            p = jnp.exp2(s * c - lse2)
+            if masked:
+                # Also guards lse = -inf rows (fully-masked segment rows):
+                # exp2(+inf) -> inf must not escape into the accumulators.
+                mask = _chain_mask(
+                    rows, cols, sk=sk, bounds_possible=bounds_possible,
+                    causal=causal, has_segments=has_segments,
+                    qpos=qpos_ref[0] if has_segments else None,
+                    kpos=kpos_ref[0] if has_segments else None,
+                    qseg=qseg_ref[0] if has_segments else None,
+                    kseg=kseg_ref[0] if has_segments else None,
+                    rows_sl=sl,
+                )
+                p = jnp.where(mask, p, 0.0)
+
+            doj = do_ref[0, 0, sl, :]
+            if p_drop > 0.0:
+                keep = prng.keep_mask(
+                    seed_ref[0, 0],
+                    bh.astype(jnp.uint32),
+                    rows.astype(jnp.uint32),
+                    cols.astype(jnp.uint32),
+                    p_drop,
+                )
+                rp = jnp.float32(1.0 / (1.0 - p_drop))
+                p_dropped = jnp.where(keep, p, 0.0) * rp
+                dp = jnp.where(keep, dp, 0.0) * rp
+            else:
+                p_dropped = p
+
+            # dV += P_dropped^T @ dO
+            dv_acc[...] += jax.lax.dot_general(
+                p_dropped.astype(doj.dtype), doj,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            rp = jnp.float32(1.0 / (1.0 - p_drop))
-            p_dropped = jnp.where(keep, p, 0.0) * rp
-            dp = jnp.where(keep, dp, 0.0) * rp
-        else:
-            p_dropped = p
+            # dS (unscaled); the * scale distributes over the sum and is
+            # applied once at finalize.
+            ds = p * (dp - di_col)
+            qj = q_ref[0, 0, sl, :]
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(qj.dtype), qj,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-        # dV += P_dropped^T @ dO
-        dv_acc[...] += jax.lax.dot_general(
-            p_dropped.astype(do.dtype),
-            do,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - di_col) * jnp.float32(scale)
-        # dK += dS^T @ Q
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype),
-            q,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    if causal and not has_segments:
-        should_run = (iq + 1) * block_q - 1 >= ik * block_k
-        pl.when(should_run)(_compute)
+    if has_segments:
+        _compute(masked=True)
     else:
-        _compute()
+        needs_mask = jnp.bool_(False)
+        if bounds_possible:
+            needs_mask = needs_mask | (ik == pl.num_programs(2) - 1)
+        if causal:
+            needs_mask = needs_mask | (
+                iq * block_q < ik * block_k + block_k - 1
+            )
+            should_run = (iq + 1) * block_q - 1 >= ik * block_k
+            pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
+            pl.when(should_run & jnp.logical_not(needs_mask))(
+                lambda: _compute(masked=False))
+        else:
+            pl.when(needs_mask)(lambda: _compute(masked=True))
+            pl.when(jnp.logical_not(needs_mask))(
+                lambda: _compute(masked=False))
 
     @pl.when(iq == num_q_blocks - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_acc[...] * jnp.float32(scale)).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _dq_kernel(
     *refs,
     sk: int,
+    sk_pad: int,
     block_q: int,
     block_k: int,
     num_k_blocks: int,
@@ -160,6 +225,7 @@ def _dq_kernel(
     scale: float,
     p_drop: float,
     num_heads: int,
+    chains: int,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -175,78 +241,285 @@ def _dq_kernel(
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
+    bounds_possible = sk != sk_pad
+    bqs = block_q // chains
 
     @pl.when(ik == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    def _compute():
-        q = q_ref[0, 0]
+    def _compute(masked: bool):
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse_col = lse_ref[0, 0][:, 0:1]
-        di_col = di_ref[0, 0][:, 0:1]
+        c = jnp.float32(scale * LOG2E)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
-        rows, cols = block_coords(block_q, block_k, iq, ik)
-        mask = attention_mask(
-            rows,
-            cols,
-            sk=sk,
-            causal=causal,
-            q_pos=qpos_ref[0] if has_segments else None,
-            kv_pos=kpos_ref[0] if has_segments else None,
-            q_seg=qseg_ref[0] if has_segments else None,
-            kv_seg=kseg_ref[0] if has_segments else None,
-        )
-        p = _recompute_p(s, mask, lse_col)
+        ss, dps = [], []
+        for j in range(chains):
+            sl = slice(j * bqs, (j + 1) * bqs)
+            qj = q_ref[0, 0, sl, :]
+            doj = do_ref[0, 0, sl, :]
+            ss.append(jax.lax.dot_general(
+                qj, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dps.append(jax.lax.dot_general(
+                doj, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
 
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if p_drop > 0.0:
-            keep = prng.keep_mask(
-                seed_ref[0, 0],
-                bh.astype(jnp.uint32),
-                rows.astype(jnp.uint32),
-                cols.astype(jnp.uint32),
-                p_drop,
+        for j in range(chains):
+            sl = slice(j * bqs, (j + 1) * bqs)
+            row0 = iq * block_q + j * bqs
+            s, dp = ss[j], dps[j]
+            lse2 = lse_ref[0, 0, sl, 0:1] * jnp.float32(LOG2E)
+            di_col = di_ref[0, 0, sl, 0:1]
+
+            rows = cols = None
+            if masked or p_drop > 0.0:
+                rows = (jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 0)
+                        + row0)
+                cols = (jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 1)
+                        + ik * block_k)
+
+            p = jnp.exp2(s * c - lse2)
+            if masked:
+                mask = _chain_mask(
+                    rows, cols, sk=sk, bounds_possible=bounds_possible,
+                    causal=causal, has_segments=has_segments,
+                    qpos=qpos_ref[0] if has_segments else None,
+                    kpos=kpos_ref[0] if has_segments else None,
+                    qseg=qseg_ref[0] if has_segments else None,
+                    kseg=kseg_ref[0] if has_segments else None,
+                    rows_sl=sl,
+                )
+                p = jnp.where(mask, p, 0.0)
+
+            if p_drop > 0.0:
+                keep = prng.keep_mask(
+                    seed_ref[0, 0],
+                    bh.astype(jnp.uint32),
+                    rows.astype(jnp.uint32),
+                    cols.astype(jnp.uint32),
+                    p_drop,
+                )
+                dp = jnp.where(keep, dp, 0.0) * jnp.float32(
+                    1.0 / (1.0 - p_drop))
+
+            ds = p * (dp - di_col)
+            dq_acc[sl] += jax.lax.dot_general(
+                ds.astype(k.dtype), k,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            dp = jnp.where(keep, dp, 0.0) * jnp.float32(1.0 / (1.0 - p_drop))
 
-        ds = p * (dp - di_col) * jnp.float32(scale)
-        dq_acc[...] += jax.lax.dot_general(
-            ds.astype(k.dtype),
-            k,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    if causal and not has_segments:
-        should_run = (iq + 1) * block_q - 1 >= ik * block_k
-        pl.when(should_run)(_compute)
+    if has_segments:
+        _compute(masked=True)
     else:
-        _compute()
+        needs_mask = jnp.bool_(False)
+        if bounds_possible:
+            needs_mask = needs_mask | (ik == num_k_blocks - 1)
+        if causal:
+            needs_mask = needs_mask | (
+                iq * block_q < ik * block_k + block_k - 1
+            )
+            should_run = (iq + 1) * block_q - 1 >= ik * block_k
+            pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
+            pl.when(should_run & jnp.logical_not(needs_mask))(
+                lambda: _compute(masked=False))
+        else:
+            pl.when(needs_mask)(lambda: _compute(masked=True))
+            pl.when(jnp.logical_not(needs_mask))(
+                lambda: _compute(masked=False))
 
     @pl.when(ik == num_k_blocks - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
 
 
-def _seq_specs(bq, bk, d, *, kv_major: bool):
+def _fused_kernel(
+    *refs,
+    sk: int,
+    sk_pad: int,
+    block_q: int,
+    block_k: int,
+    num_q_blocks: int,
+    num_k_blocks: int,
+    causal: bool,
+    has_segments: bool,
+    scale: float,
+    p_drop: float,
+    num_heads: int,
+    chains: int,
+):
+    """Single-pass backward: grid (b, h, ik, iq), K/V-stationary.
+
+    Computes QK^T and dO V^T once per tile (5 dots total vs 7 for the
+    two-kernel split). dK/dV accumulate in their own VMEM-resident output
+    blocks across the inner q loop; dQ accumulates into a full-sequence
+    fp32 VMEM scratch across the whole (b, h) slice and is written out on
+    the last grid step. Used when the (sq_pad, d) fp32 dq carry fits VMEM.
+    """
+    idx = 0
+    if p_drop > 0.0:
+        seed_ref = refs[idx]
+        idx += 1
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[idx : idx + 6]
+    idx += 6
+    if has_segments:
+        qpos_ref, kpos_ref, qseg_ref, kseg_ref = refs[idx : idx + 4]
+        idx += 4
+    dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc = refs[idx : idx + 6]
+
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    bh = pl.program_id(0) * num_heads + pl.program_id(1)
+    bounds_possible = sk != sk_pad
+    bqs = block_q // chains
+
+    @pl.when((ik == 0) & (iq == 0))
+    def _init_dq():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when(iq == 0)
+    def _init_dkv():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def _compute(masked: bool):
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        c = jnp.float32(scale * LOG2E)
+
+        ss, dps = [], []
+        for j in range(chains):
+            sl = slice(j * bqs, (j + 1) * bqs)
+            qj = q_ref[0, 0, sl, :]
+            doj = do_ref[0, 0, sl, :]
+            ss.append(jax.lax.dot_general(
+                qj, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dps.append(jax.lax.dot_general(
+                doj, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+
+        for j in range(chains):
+            sl = slice(j * bqs, (j + 1) * bqs)
+            row0 = iq * block_q + j * bqs
+            s, dp = ss[j], dps[j]
+            lse2 = lse_ref[0, 0, sl, 0:1] * jnp.float32(LOG2E)
+            di_col = di_ref[0, 0, sl, 0:1]
+
+            rows = cols = None
+            if masked or p_drop > 0.0:
+                rows = (jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 0)
+                        + row0)
+                cols = (jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 1)
+                        + ik * block_k)
+
+            p = jnp.exp2(s * c - lse2)
+            if masked:
+                mask = _chain_mask(
+                    rows, cols, sk=sk, bounds_possible=bounds_possible,
+                    causal=causal, has_segments=has_segments,
+                    qpos=qpos_ref[0] if has_segments else None,
+                    kpos=kpos_ref[0] if has_segments else None,
+                    qseg=qseg_ref[0] if has_segments else None,
+                    kseg=kseg_ref[0] if has_segments else None,
+                    rows_sl=sl,
+                )
+                p = jnp.where(mask, p, 0.0)
+
+            doj = do_ref[0, 0, sl, :]
+            if p_drop > 0.0:
+                keep = prng.keep_mask(
+                    seed_ref[0, 0],
+                    bh.astype(jnp.uint32),
+                    rows.astype(jnp.uint32),
+                    cols.astype(jnp.uint32),
+                    p_drop,
+                )
+                rp = jnp.float32(1.0 / (1.0 - p_drop))
+                p_dropped = jnp.where(keep, p, 0.0) * rp
+                dp = jnp.where(keep, dp, 0.0) * rp
+            else:
+                p_dropped = p
+
+            dv_acc[...] += jax.lax.dot_general(
+                p_dropped.astype(doj.dtype), doj,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - di_col)  # unscaled; *scale applied at finalize
+            qj = q_ref[0, 0, sl, :]
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(qj.dtype), qj,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_sl = pl.ds(row0, bqs)
+            dq_acc[dq_sl] += jax.lax.dot_general(
+                ds.astype(k.dtype), k,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    if has_segments:
+        _compute(masked=True)
+    else:
+        needs_mask = jnp.bool_(False)
+        if bounds_possible:
+            needs_mask = needs_mask | (ik == num_k_blocks - 1)
+        if causal:
+            needs_mask = needs_mask | (
+                iq * block_q < ik * block_k + block_k - 1
+            )
+            should_run = (iq + 1) * block_q - 1 >= ik * block_k
+            pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
+            pl.when(should_run & jnp.logical_not(needs_mask))(
+                lambda: _compute(masked=False))
+        else:
+            pl.when(needs_mask)(lambda: _compute(masked=True))
+            pl.when(jnp.logical_not(needs_mask))(
+                lambda: _compute(masked=False))
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _finalize_dkv():
+        dk_ref[0, 0] = (dk_acc[...] * jnp.float32(scale)).astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+    @pl.when((ik == num_k_blocks - 1) & (iq == num_q_blocks - 1))
+    def _finalize_dq():
+        dq_ref[0, 0] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
+
+
+def _seq_specs(bq, bk, d, *, kv_major: bool, causal: bool):
     """BlockSpecs for (q, k, v, do, lse, di) given grid (b, h, X, Y) where
-    (X, Y) = (ik, iq) if kv_major else (iq, ik)."""
+    (X, Y) = (ik, iq) if kv_major else (iq, ik).
+
+    With causal masking, skipped grid steps redirect their DMA to the next
+    block that will actually run (flash_fwd.py's prefetch-redirect trick;
+    for the kv-major dKV grid the skipped q blocks are at the *start* of
+    the row, so they redirect forward to the first running q block).
+    """
     if kv_major:
-        qi = lambda b_, h_, x, y: (b_, h_, y, 0)  # noqa: E731
+        if causal:
+            def qi(b_, h_, x, y):
+                run = (y + 1) * bq - 1 >= x * bk
+                first_running = (x * bk) // bq
+                return (b_, h_, jax.lax.select(run, y, first_running), 0)
+        else:
+            def qi(b_, h_, x, y):
+                return (b_, h_, y, 0)
         ki = lambda b_, h_, x, y: (b_, h_, x, 0)  # noqa: E731
         qv = lambda b_, h_, x, y: (b_, y)  # noqa: E731
         kv = lambda b_, h_, x, y: (b_, x)  # noqa: E731
     else:
         qi = lambda b_, h_, x, y: (b_, h_, x, 0)  # noqa: E731
-        ki = lambda b_, h_, x, y: (b_, h_, y, 0)  # noqa: E731
+        if causal:
+            def ki(b_, h_, x, y):
+                run = (x + 1) * bq - 1 >= y * bk
+                return (b_, h_, jax.lax.select(run, y, 0), 0)
+        else:
+            def ki(b_, h_, x, y):
+                return (b_, h_, y, 0)
         qv = lambda b_, h_, x, y: (b_, x)  # noqa: E731
         kv = lambda b_, h_, x, y: (b_, y)  # noqa: E731
     tensor = [
@@ -264,6 +537,16 @@ def _seq_specs(bq, bk, d, *, kv_major: bool):
         pl.BlockSpec((1, bk), kv, memory_space=pltpu.VMEM),  # kv_seg
     ]
     return tensor, seg
+
+
+def _pick_chains(requested: int, bq: int) -> int:
+    """Largest chain count <= requested with sub height >= 256 (bwd dots
+    have 2x the streams of fwd, so smaller sub-blocks fragment the MXU),
+    a multiple of 128."""
+    chains = max(1, min(requested, bq // 256))
+    while bq % (chains * 128) != 0:
+        chains -= 1
+    return chains
 
 
 def flash_attention_bwd(
@@ -321,12 +604,72 @@ def flash_attention_bwd(
             kv_segment_ids.astype(jnp.int32),
         ]
 
+    # ---- fused single-pass kernel (when the dq carry fits VMEM) ----
+    # Computes QK^T / dO V^T once per tile: 5 dots instead of the
+    # two-kernel split's 7.
+    if sq_pad * d * 4 <= 4 * 1024 * 1024:
+        bq = min(block_sizes.block_q_dkv, sq_pad)
+        bk = min(block_sizes.block_k_dkv, sk_pad)
+        assert sq_pad % bq == 0 and sk_pad % bk == 0
+        nq, nk = sq_pad // bq, sk_pad // bk
+        tensor_specs, seg_specs = _seq_specs(
+            bq, bk, d, kv_major=True, causal=causal and not has_segments)
+        kv_out_spec = pl.BlockSpec(
+            (1, 1, bk, d), lambda b_, h_, x, y: (b_, h_, x, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(
+                _fused_kernel,
+                sk=sk,
+                sk_pad=sk_pad,
+                block_q=bq,
+                block_k=bk,
+                num_q_blocks=nq,
+                num_k_blocks=nk,
+                causal=causal,
+                has_segments=has_segments,
+                scale=float(softmax_scale),
+                p_drop=p_drop,
+                num_heads=h,
+                chains=_pick_chains(block_sizes.q_chains, bq),
+            ),
+            grid=(b, h, nk, nq),
+            in_specs=seed_specs + tensor_specs
+            + (seg_specs if has_segments else []),
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, sq_pad, d), lambda b_, h_, x, y: (b_, h_, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                kv_out_spec,
+                kv_out_spec,
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct(k.shape, k.dtype),
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((sq_pad, d), jnp.float32),  # dq carry
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(
+                    "parallel", "parallel", "arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*seed_args, q, k, v, dout, lse, di, *seg_args)
+        return dq, dk, dv
+
     # ---- dKV kernel ----
     bq = min(block_sizes.block_q_dkv, sq_pad)
     bk = min(block_sizes.block_k_dkv, sk_pad)
     assert sq_pad % bq == 0 and sk_pad % bk == 0
     nq, nk = sq_pad // bq, sk_pad // bk
-    tensor_specs, seg_specs = _seq_specs(bq, bk, d, kv_major=True)
+    tensor_specs, seg_specs = _seq_specs(bq, bk, d, kv_major=True,
+                                         causal=causal and not has_segments)
     kv_out_spec = pl.BlockSpec(
         (1, 1, bk, d), lambda b_, h_, x, y: (b_, h_, x, 0),
         memory_space=pltpu.VMEM,
@@ -335,6 +678,7 @@ def flash_attention_bwd(
         functools.partial(
             _dkv_kernel,
             sk=sk,
+            sk_pad=sk_pad,
             block_q=bq,
             block_k=bk,
             num_q_blocks=nq,
@@ -343,6 +687,7 @@ def flash_attention_bwd(
             scale=float(softmax_scale),
             p_drop=p_drop,
             num_heads=h,
+            chains=_pick_chains(block_sizes.q_chains, bq),
         ),
         grid=(b, h, nk, nq),
         in_specs=seed_specs + tensor_specs + (seg_specs if has_segments else []),
@@ -366,11 +711,13 @@ def flash_attention_bwd(
     bk = min(block_sizes.block_k_dq, sk_pad)
     assert sq_pad % bq == 0 and sk_pad % bk == 0
     nq, nk = sq_pad // bq, sk_pad // bk
-    tensor_specs, seg_specs = _seq_specs(bq, bk, d, kv_major=False)
+    tensor_specs, seg_specs = _seq_specs(bq, bk, d, kv_major=False,
+                                         causal=causal and not has_segments)
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel,
             sk=sk,
+            sk_pad=sk_pad,
             block_q=bq,
             block_k=bk,
             num_k_blocks=nk,
@@ -379,6 +726,7 @@ def flash_attention_bwd(
             scale=float(softmax_scale),
             p_drop=p_drop,
             num_heads=h,
+            chains=_pick_chains(block_sizes.q_chains, bq),
         ),
         grid=(b, h, nq, nk),
         in_specs=seed_specs + tensor_specs + (seg_specs if has_segments else []),
