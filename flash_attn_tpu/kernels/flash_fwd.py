@@ -113,23 +113,34 @@ def _fwd_kernel(
             row0 = iq * block_q + j * bqs  # global first row of this chain
             s = ss[j]
 
+            # Dropout hashes on (bqs, 1) / (1, block_k) index *vectors*
+            # (prng.hash_coords is separable so the row half is vector
+            # work); masks use full-tile iotas — measured faster on v5e
+            # than broadcasting vector compares.
             rows = cols = None
-            if masked or p_drop > 0.0:
+            if p_drop > 0.0:
                 rows = (
-                    jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 0)
-                    + row0
+                    jax.lax.broadcasted_iota(jnp.int32, (bqs, 1), 0) + row0
                 )
                 cols = (
-                    jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 1)
+                    jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
                     + ik * block_k
                 )
 
             mask = None
             if masked:
+                rows_t = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 0)
+                    + row0
+                )
+                cols_t = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bqs, block_k), 1)
+                    + ik * block_k
+                )
                 mask = jnp.ones((bqs, block_k), jnp.bool_)
                 if bounds_possible:
                     # Padded key columns never contribute.
-                    mask = cols < sk
+                    mask = cols_t < sk
                 if has_segments:
                     qs = qseg_ref[0][rows_sl][:, None]
                     ks = kseg_ref[0][None, :]
@@ -139,7 +150,7 @@ def _fwd_kernel(
                         kp = kpos_ref[0][None, :]
                         mask = mask & (qp >= kp)
                 elif causal:
-                    mask = mask & (rows >= cols)
+                    mask = mask & (rows_t >= cols_t)
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_ref[rows_sl]  # (bqs, NUM_LANES), lane-replicated
@@ -210,11 +221,14 @@ def _fwd_kernel(
             pl.when(should_run & jnp.logical_not(needs_mask))(
                 lambda: _compute(masked=False)
             )
-        else:
+        elif bounds_possible:
             pl.when(needs_mask)(lambda: _compute(masked=True))
             pl.when(jnp.logical_not(needs_mask))(
                 lambda: _compute(masked=False)
             )
+        else:
+            # No mask component exists statically: single fast path.
+            _compute(masked=False)
 
     @pl.when(ik == num_k_blocks - 1)
     def _finalize():

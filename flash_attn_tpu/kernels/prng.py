@@ -41,18 +41,21 @@ def _mix32(x: jax.Array) -> jax.Array:
 
 
 def hash_coords(seed: jax.Array, bh: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
-    """uint32 hash of (seed, batch*head index, row, col); broadcasts."""
+    """uint32 hash of (seed, batch*head index, row, col); broadcasts.
+
+    Deliberately *separable*: everything that depends only on the row
+    (including one full mixing round) is computed first, so kernels can
+    pass rows as a (bq, 1) column and cols as a (1, bk) row — the
+    row-hash then costs vector work and only the final round runs at
+    full-tile width (~9 elementwise ops/element instead of ~22)."""
     seed = seed.astype(jnp.uint32)
     bh = bh.astype(jnp.uint32)
-    x = (
+    rh = _mix32(
         rows.astype(jnp.uint32) * jnp.uint32(_C0)
-        ^ cols.astype(jnp.uint32) * jnp.uint32(_C1)
         ^ bh * jnp.uint32(_C2)
         ^ seed
     )
-    # Two mixing rounds: one is already near-full avalanche, two gives
-    # headroom for the very structured (row, col) input lattice.
-    return _mix32(_mix32(x + seed))
+    return _mix32(rh ^ cols.astype(jnp.uint32) * jnp.uint32(_C1))
 
 
 def dropout_threshold(p_drop: float) -> jnp.uint32:
