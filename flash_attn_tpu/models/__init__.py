@@ -1,0 +1,19 @@
+"""Model families on FlashMHA: the reference's named integration targets
+(BERT / GPT-2 / ViT, reference README.md:145) plus drop-in modules."""
+
+from flash_attn_tpu.models.bert import BertConfig, BertForMaskedLM, BertModel
+from flash_attn_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+from flash_attn_tpu.models.modules import FlashAttention, FlashMHA
+from flash_attn_tpu.models.vit import ViTClassifier, ViTConfig
+
+__all__ = [
+    "BertConfig",
+    "BertForMaskedLM",
+    "BertModel",
+    "FlashAttention",
+    "FlashMHA",
+    "GPT2Config",
+    "GPT2LMHeadModel",
+    "ViTClassifier",
+    "ViTConfig",
+]
