@@ -1,0 +1,121 @@
+"""Decode-path benchmark: TTFT and tokens/s with quantized KV cache.
+
+North-star metrics (BASELINE.json): decode tokens/s with FP8 KV-cache and
+p50 time-to-first-token. GPT-2-small geometry, batch 8, paged KV cache.
+
+All decode steps run in ONE device dispatch (lax.fori_loop) so the ~27 ms
+tunnel RTT doesn't masquerade as per-token latency; TTFT is a full
+host-visible prefill dispatch, which is what a serving client would see.
+Caveat: this remote-tunneled chip adds large fixed per-op overheads inside
+device loops (an argmax alone measures ~1.5 ms/iteration), so absolute
+tokens/s here underestimates a directly-attached TPU.
+
+Usage: python benchmarks/benchmark_decode.py [--quant fp8_e4m3]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flash_attn_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+from flash_attn_tpu.models.gpt2_decode import decode_step, prefill
+from flash_attn_tpu.serving.cache import init_cache, write_prompt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=128)
+    args = ap.parse_args()
+
+    cfg = GPT2Config(
+        vocab_size=50257, n_layer=12, n_head=12, n_embd=768,
+        max_position_embeddings=2048, dtype=jnp.bfloat16,
+    )
+    model = GPT2LMHeadModel(cfg)
+    rng = np.random.default_rng(0)
+    b, s = args.batch, args.prompt
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+    hd = cfg.n_embd // cfg.n_head
+    page_size = 128
+    pages_per_seq = 16
+    num_pages = b * pages_per_seq + 1
+
+    # --- TTFT: host-visible prefill latency (p50 of 9) ---
+    # NB: params must be a jit *argument*, not a closure/partial constant —
+    # constants are inlined into the HLO (hundreds of MB for GPT-2).
+    pf = jax.jit(lambda p, i: prefill(p, cfg, i))
+    pf = functools.partial(pf, params)
+    logits, ks, vs = pf(ids)
+    np.asarray(logits[:1, :1])  # warm/compile
+    ts = []
+    for i in range(9):
+        ids_i = (ids + i) % cfg.vocab_size
+        t0 = time.perf_counter()
+        logits, ks, vs = pf(ids_i)
+        np.asarray(logits[:1, :1])
+        ts.append(time.perf_counter() - t0)
+    ttft = sorted(ts)[len(ts) // 2]
+    print(f"p50 TTFT (b={b}, prompt={s}, GPT-2 small): {ttft * 1e3:.1f} ms")
+
+    for quant in [None, "int8", "fp8_e4m3"]:
+        caches = [
+            init_cache(cfg.n_head, num_pages, page_size, hd,
+                       dtype=cfg.dtype, quantization=quant)
+            for _ in range(cfg.n_layer)
+        ]
+        page_table = jnp.asarray(
+            1 + np.arange(b * pages_per_seq).reshape(b, pages_per_seq),
+            jnp.int32,
+        )
+        logits, ks, vs = pf(ids)
+        wp = jax.jit(write_prompt)
+        for li in range(cfg.n_layer):
+            for bi in range(b):
+                caches[li] = wp(caches[li], ks[li][bi], vs[li][bi],
+                                page_table[bi])
+        lengths = jnp.full((b,), s, jnp.int32)
+
+        # All steps in ONE dispatch (lax.fori_loop): the host loop through
+        # the tunnel costs ~27 ms RTT per dispatch, which would swamp
+        # per-token latency. decode_step traces once.
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(4,))
+        def run_steps(p, caches, lengths, tokens, n):
+            def body(_, carry):
+                caches, lengths, tokens = carry
+                logits, caches = decode_step(
+                    p, cfg, caches, page_table, lengths, tokens
+                )
+                tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return caches, lengths + 1, tokens
+
+            return jax.lax.fori_loop(0, n, body, (caches, lengths, tokens))
+
+        tokens = jnp.zeros((b,), jnp.int32)
+        caches, lengths, tokens = run_steps(params, caches, lengths, tokens, 2)
+        np.asarray(tokens)  # warm/compile
+        t0 = time.perf_counter()
+        caches, lengths, tokens = run_steps(
+            params, caches, lengths, tokens, args.steps
+        )
+        np.asarray(tokens)
+        dt = time.perf_counter() - t0
+        print(
+            f"decode kv={quant or 'bf16'}: "
+            f"{b * args.steps / dt:,.0f} tokens/s  "
+            f"({dt / args.steps * 1e3:.2f} ms/step @ b={b})"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,11 +14,13 @@ Layout:
   lengths:  (batch,) int32 — valid tokens per sequence
   page_tbl: (batch, pages_per_seq_max) int32 physical page ids
 
-Grid: (batch, n_kv_heads, pages_per_seq_max); online softmax across the
-page dimension with (m, l, acc) VMEM carries, like the training kernel.
-Per-token dequant scales are applied to the SCORES (q.k^T * s_k) and to
-the P@V accumulation (row-scaled V), so the int8/fp8 payload feeds the
-MXU directly.
+Grid: **(batch, page)** — one grid step streams a page for *all* KV heads
+at once (decode is bandwidth/overhead-bound: merging the head dimension
+into the step cuts grid steps by n_kv_heads and makes each DMA
+n_kv_heads * page_size * d wide). Scores for every (head, group-row) are
+carried as one (n_kv_heads * group, lanes) online-softmax state. Dequant
+scales are applied to the SCORES (q.k^T * s_k) and to the P@V accumulation
+(row-scaled P), so the int8/fp8 payload feeds the MXU directly.
 """
 
 from __future__ import annotations
@@ -46,6 +48,7 @@ def _decode_kernel(
     quantized: bool,
     scale: float,
     group: int,
+    n_kv_heads: int,
 ):
     idx = 0
     q_ref = refs[idx]
@@ -63,8 +66,9 @@ def _decode_kernel(
     o_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 4]
 
     b = pl.program_id(0)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
     length = lengths_ref[b]
+    hg = n_kv_heads * group
 
     @pl.when(j == 0)
     def _init():
@@ -74,24 +78,25 @@ def _decode_kernel(
 
     @pl.when(j * page_size < length)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # (group, d)
-        k = k_ref[0, 0]  # (page_size, d) payload
+        q = q_ref[0].astype(jnp.float32)  # (h, group, d)
+        k = k_ref[:, 0].astype(jnp.float32)  # (h, page_size, d)
+        # Batched over kv heads: (h, g, d) x (h, ps, d) -> (h, g, ps).
         s = jax.lax.dot_general(
-            q, k.astype(jnp.float32) if not quantized else k.astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * jnp.float32(scale)  # (group, page_size)
+        ) * jnp.float32(scale)
         if quantized:
             # column-scale the scores by the per-token k scales
-            s = s * ks_ref[0, 0]  # (1, page_size) broadcasts over group
+            s = s * ks_ref[:, 0]  # (h, 1, ps) broadcasts over group
+        s = s.reshape(hg, page_size)
         pos = (
-            jax.lax.broadcasted_iota(jnp.int32, (group, page_size), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (hg, page_size), 1)
             + j * page_size
         )
         mask = pos < length
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_ref[...]  # (group, NUM_LANES)
+        m_prev = m_ref[...]  # (hg, NUM_LANES)
         l_prev = l_ref[...]
         m_curr = jnp.max(s, axis=1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_curr)
@@ -101,18 +106,28 @@ def _decode_kernel(
         l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_next
 
-        v = v_ref[0, 0].astype(jnp.float32)  # (page_size, d)
+        v = v_ref[:, 0].astype(jnp.float32)  # (h, page_size, d)
         if quantized:
-            p = p * vs_ref[0, 0]  # (1, page_size): fold v row scales into p
-        acc_ref[...] = acc_ref[...] * alpha[:, 0:1] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            # fold v row scales into p: (h, 1, ps) over (h, g, ps)
+            p = (p.reshape(n_kv_heads, group, page_size) * vs_ref[:, 0]
+                 ).reshape(hg, page_size)
+        # (h, g, ps) x (h, ps, d) -> (h, g, d)
+        pv = jax.lax.dot_general(
+            p.reshape(n_kv_heads, group, page_size), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
+        acc_ref[...] = acc_ref[...] * alpha[:, 0:1] + pv.reshape(hg, -1)
 
     @pl.when(j == pages_max - 1)
     def _finalize():
         l = l_ref[:, 0:1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (
+            (acc_ref[...] * l_inv)
+            .reshape(n_kv_heads, group, -1)
+            .astype(o_ref.dtype)
+        )
 
 
 def paged_decode_attention(
@@ -147,34 +162,42 @@ def paged_decode_attention(
 
     q4 = q.reshape(batch, n_kv_heads, group, d)
 
-    page_map = lambda b_, h_, j, tbl, ln: (h_, tbl[b_, j], 0, 0)  # noqa: E731
+    # One grid step = one page across ALL kv heads.
+    page_map = lambda b_, j, tbl, ln: (0, tbl[b_, j], 0, 0)  # noqa: E731
     in_specs = [
         pl.BlockSpec(
-            (1, 1, group, d), lambda b_, h_, j, tbl, ln: (b_, h_, 0, 0),
+            (1, n_kv_heads, group, d), lambda b_, j, tbl, ln: (b_, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec((1, 1, page_size, d), page_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (n_kv_heads, 1, page_size, d), page_map, memory_space=pltpu.VMEM
+        ),
     ]
     args = [q4, k_pages]
     if quantized:
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, 1, page_size), page_map, memory_space=pltpu.VMEM
+                (n_kv_heads, 1, 1, page_size), page_map,
+                memory_space=pltpu.VMEM,
             )
         )
         args.append(k_scales.astype(jnp.float32))
     in_specs.append(
-        pl.BlockSpec((1, 1, page_size, d), page_map, memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (n_kv_heads, 1, page_size, d), page_map, memory_space=pltpu.VMEM
+        )
     )
     args.append(v_pages)
     if quantized:
         in_specs.append(
             pl.BlockSpec(
-                (1, 1, 1, page_size), page_map, memory_space=pltpu.VMEM
+                (n_kv_heads, 1, 1, page_size), page_map,
+                memory_space=pltpu.VMEM,
             )
         )
         args.append(v_scales.astype(jnp.float32))
 
+    hg = n_kv_heads * group
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel,
@@ -183,24 +206,25 @@ def paged_decode_attention(
             quantized=quantized,
             scale=float(softmax_scale),
             group=group,
+            n_kv_heads=n_kv_heads,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(batch, n_kv_heads, pages_max),
+            grid=(batch, pages_max),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, group, d), lambda b_, h_, j, tbl, ln: (b_, h_, 0, 0),
+                (1, n_kv_heads, group, d), lambda b_, j, tbl, ln: (b_, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((group, NUM_LANES), jnp.float32),
-                pltpu.VMEM((group, NUM_LANES), jnp.float32),
-                pltpu.VMEM((group, d), jnp.float32),
+                pltpu.VMEM((hg, NUM_LANES), jnp.float32),
+                pltpu.VMEM((hg, NUM_LANES), jnp.float32),
+                pltpu.VMEM((hg, d), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((batch, n_kv_heads, group, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *args)

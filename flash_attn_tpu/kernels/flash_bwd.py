@@ -515,9 +515,10 @@ def _fused_kernel(
         dq_ref[0, 0] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
 
 
-def _seq_specs(bq, bk, d, *, kv_major: bool, causal: bool):
+def _seq_specs(bq, bk, d, *, kv_major: bool, causal: bool, group: int = 1):
     """BlockSpecs for (q, k, v, do, lse, di) given grid (b, h, X, Y) where
-    (X, Y) = (ik, iq) if kv_major else (iq, ik).
+    (X, Y) = (ik, iq) if kv_major else (iq, ik). ``group`` maps query head
+    h to kv head h // group (GQA/MQA).
 
     With causal masking, skipped grid steps redirect their DMA to the next
     block that will actually run (flash_fwd.py's prefetch-redirect trick;
@@ -533,7 +534,7 @@ def _seq_specs(bq, bk, d, *, kv_major: bool, causal: bool):
         else:
             def qi(b_, h_, x, y):
                 return (b_, h_, y, 0)
-        ki = lambda b_, h_, x, y: (b_, h_, x, 0)  # noqa: E731
+        ki = lambda b_, h_, x, y: (b_, h_ // group, x, 0)  # noqa: E731
         qv = lambda b_, h_, x, y: (b_, y)  # noqa: E731
         kv = lambda b_, h_, x, y: (b_, x)  # noqa: E731
     else:
@@ -541,10 +542,10 @@ def _seq_specs(bq, bk, d, *, kv_major: bool, causal: bool):
         if causal:
             def ki(b_, h_, x, y):
                 run = (x + 1) * bq - 1 >= y * bk
-                return (b_, h_, jax.lax.select(run, y, 0), 0)
+                return (b_, h_ // group, jax.lax.select(run, y, 0), 0)
         else:
             def ki(b_, h_, x, y):
-                return (b_, h_, y, 0)
+                return (b_, h_ // group, y, 0)
         qv = lambda b_, h_, x, y: (b_, x)  # noqa: E731
         kv = lambda b_, h_, x, y: (b_, y)  # noqa: E731
     tensor = [
@@ -595,9 +596,25 @@ def flash_attention_bwd(
     block_sizes: BlockSizes | None = None,
     interpret: bool = False,
 ):
-    """Returns (dq, dk, dv) on the padded layout."""
+    """Returns (dq, dk, dv) on the padded layout.
+
+    GQA/MQA: k/v may have fewer heads than q; dk/dv are computed per
+    *query* head by the kernels (kv blocks read via h // group index
+    maps) and group-summed in fp32 here, returning kv-head shapes.
+    """
     b, h, sq_pad, d = q.shape
     sk_pad = k.shape[2]
+    h_kv = k.shape[1]
+    assert h % h_kv == 0, (h, h_kv)
+    group = h // h_kv
+
+    def _group_sum(dkv_per_qhead, like):
+        if group == 1:
+            return dkv_per_qhead
+        summed = dkv_per_qhead.astype(jnp.float32).reshape(
+            b, h_kv, group, sk_pad, d
+        ).sum(axis=2)
+        return summed.astype(like.dtype)
     if block_sizes is None:
         block_sizes = BlockSizes.choose(seq_len_q=sq, seq_len_k=sk, head_dim=d)
     has_segments = q_segment_ids is not None
@@ -638,7 +655,8 @@ def flash_attention_bwd(
         assert sq_pad % bq == 0 and sk_pad % bk == 0
         nq, nk = sq_pad // bq, sk_pad // bk
         tensor_specs, seg_specs = _seq_specs(
-            bq, bk, d, kv_major=True, causal=causal and not has_segments)
+            bq, bk, d, kv_major=True, causal=causal and not has_segments,
+            group=group)
         kv_out_spec = pl.BlockSpec(
             (1, 1, bk, d), lambda b_, h_, x, y: (b_, h_, x, 0),
             memory_space=pltpu.VMEM,
@@ -672,8 +690,8 @@ def flash_attention_bwd(
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(q.shape, q.dtype),
-                jax.ShapeDtypeStruct(k.shape, k.dtype),
-                jax.ShapeDtypeStruct(v.shape, v.dtype),
+                jax.ShapeDtypeStruct((b, h, sk_pad, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h, sk_pad, d), v.dtype),
             ],
             scratch_shapes=[
                 pltpu.VMEM((sq_pad, d), jnp.float32),  # dq carry
@@ -686,7 +704,7 @@ def flash_attention_bwd(
             ),
             interpret=interpret,
         )(*seed_args, q, k, v, dout, lse, di, *seg_args)
-        return dq, dk, dv
+        return dq, _group_sum(dk, k), _group_sum(dv, v)
 
     # ---- dKV kernel ----
     bq = min(block_sizes.block_q_dkv, sq_pad)
@@ -694,7 +712,8 @@ def flash_attention_bwd(
     assert sq_pad % bq == 0 and sk_pad % bk == 0
     nq, nk = sq_pad // bq, sk_pad // bk
     tensor_specs, seg_specs = _seq_specs(bq, bk, d, kv_major=True,
-                                         causal=causal and not has_segments)
+                                         causal=causal and not has_segments,
+                                         group=group)
     kv_out_spec = pl.BlockSpec(
         (1, 1, bk, d), lambda b_, h_, x, y: (b_, h_, x, 0),
         memory_space=pltpu.VMEM,
@@ -718,8 +737,8 @@ def flash_attention_bwd(
         in_specs=seed_specs + tensor_specs + (seg_specs if has_segments else []),
         out_specs=[kv_out_spec, kv_out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_pad, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),
@@ -730,6 +749,7 @@ def flash_attention_bwd(
         ),
         interpret=interpret,
     )(*seed_args, q, k, v, dout, lse, di, *seg_args)
+    dk, dv = _group_sum(dk, k), _group_sum(dv, v)
 
     # ---- dQ kernel ----
     bq = min(block_sizes.block_q_dq, sq_pad)
@@ -737,7 +757,8 @@ def flash_attention_bwd(
     assert sq_pad % bq == 0 and sk_pad % bk == 0
     nq, nk = sq_pad // bq, sk_pad // bk
     tensor_specs, seg_specs = _seq_specs(bq, bk, d, kv_major=False,
-                                         causal=causal and not has_segments)
+                                         causal=causal and not has_segments,
+                                         group=group)
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel,

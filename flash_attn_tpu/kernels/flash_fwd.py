@@ -279,9 +279,17 @@ def flash_attention_fwd(
     ``save_lse=False`` (inference): skips materializing the LSE tensor
     entirely — (b, h, sq_pad, 128) fp32 is substantial HBM write traffic —
     and returns (out, None).
+
+    GQA/MQA: k/v may have fewer heads than q (h % h_kv == 0); query head
+    ``h`` reads kv head ``h // group`` directly from HBM — no broadcasted
+    KV copy is ever materialized.
     """
     b, h, sq_pad, d = q.shape
     sk_pad = k.shape[2]
+    h_kv = k.shape[1]
+    if h % h_kv != 0:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
+    group = h // h_kv
     if block_sizes is None:
         block_sizes = BlockSizes.choose(seq_len_q=sq, seq_len_k=sk, head_dim=d)
     bq = min(block_sizes.block_q, sq_pad)
@@ -316,10 +324,10 @@ def flash_attention_fwd(
         # (~half the kv traffic at long seqlen).
         def kv_index(b_, h_, iq, ik):
             run = (iq + 1) * bq - 1 >= ik * bk
-            return (b_, h_, jax.lax.select(run, ik, 0), 0)
+            return (b_, h_ // group, jax.lax.select(run, ik, 0), 0)
     else:
         def kv_index(b_, h_, iq, ik):
-            return (b_, h_, ik, 0)
+            return (b_, h_ // group, ik, 0)
 
     in_specs += [
         pl.BlockSpec(

@@ -150,6 +150,10 @@ def flash_attention(
     head-major, like the reference benchmark unpads outside the timed
     region, reference benchmarks/benchmark_flash_attention.py:60-63).
 
+    GQA/MQA: k/v may carry fewer heads than q (q heads must be a
+    multiple); kv blocks are read in place via head-index mapping — no
+    broadcasted copy — and dk/dv come back group-summed at kv-head shape.
+
     - ``causal``: lower-triangular masking; with ``q_positions`` /
       ``kv_positions`` given, compares those (per-segment local positions)
       instead of global indices.
@@ -162,19 +166,18 @@ def flash_attention(
     """
     if layout == "bshd":
         b, sq, h, d = q.shape
-        sk = k.shape[1]
-        kv_shape = (b, sk, h, d)
+        sk, h_kv = k.shape[1], k.shape[2]
+        kv_shape = (b, sk, h_kv, d)
     elif layout == "bhsd":
         b, h, sq, d = q.shape
-        sk = k.shape[2]
-        kv_shape = (b, h, sk, d)
+        h_kv, sk = k.shape[1], k.shape[2]
+        kv_shape = (b, h_kv, sk, d)
     else:
         raise ValueError(f"layout must be 'bshd' or 'bhsd', got {layout!r}")
-    if k.shape != kv_shape or v.shape != kv_shape:
+    if k.shape != kv_shape or v.shape != kv_shape or h % max(h_kv, 1) != 0:
         raise ValueError(
             f"q/k/v shape mismatch: {q.shape}, {k.shape}, {v.shape} "
-            "(MQA/GQA: broadcast KV heads before calling, or use the"
-            " decode kernels)"
+            "(GQA/MQA requires q heads to be a multiple of kv heads)"
         )
     if softmax_scale is None:
         softmax_scale = d**-0.5

@@ -81,11 +81,24 @@ class ServingEngine:
         self.finished: list[Request] = []
         self._next_id = 0
 
-        self._prefill = jax.jit(
-            functools.partial(prefill, self.params, self.cfg)
+        # params must be a jit *argument*, not a closure constant:
+        # jit inlines closure constants into the HLO (hundreds of MB for a
+        # real model, which overflows compile-request limits and bloats the
+        # executable).
+        cfg_ = self.cfg
+        self._prefill = functools.partial(
+            jax.jit(lambda p, ids: prefill(p, cfg_, ids)), self.params
         )
-        self._decode = jax.jit(
-            functools.partial(decode_step, self.params, self.cfg)
+        self._decode = functools.partial(
+            jax.jit(
+                lambda p, caches, tbl, lens, toks: decode_step(
+                    p, cfg_, caches, tbl, lens, toks
+                ),
+                # Donate the caches: the scatter appends update the pages
+                # in place instead of copying the whole KV cache per step.
+                donate_argnums=(1,),
+            ),
+            self.params,
         )
 
     # -- public API ---------------------------------------------------------

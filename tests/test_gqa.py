@@ -1,0 +1,79 @@
+"""Grouped-query / multi-query attention (TPU-native extension: kv blocks
+are read via head-index mapping, never broadcast; dk/dv group-summed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flash_attn_tpu.ops.attention import flash_attention
+
+
+def _inputs(b=2, sq=256, sk=256, hq=8, hkv=2, d=64, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, sq, hq, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, sk, hkv, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, sk, hkv, d)), dtype)
+    return q, k, v
+
+
+def _broadcast_kv(x, group):
+    return jnp.repeat(x, group, axis=2)
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 2), (8, 1), (4, 4)])
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa_fwd_matches_broadcast(hq, hkv, causal):
+    q, k, v = _inputs(hq=hq, hkv=hkv)
+    group = hq // hkv
+    out = flash_attention(q, k, v, causal=causal)
+    ref = flash_attention(
+        q, _broadcast_kv(k, group), _broadcast_kv(v, group), causal=causal
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gqa_grads_match_broadcast(causal):
+    hq, hkv = 8, 2
+    group = hq // hkv
+    q, k, v = _inputs(hq=hq, hkv=hkv, sq=128, sk=128)
+    g = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (q.shape[0], q.shape[1], hq, q.shape[3])
+        ),
+        q.dtype,
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) * g)
+
+    def loss_b(q, k, v):
+        return jnp.sum(
+            flash_attention(
+                q, _broadcast_kv(k, group), _broadcast_kv(v, group),
+                causal=causal,
+            )
+            * g
+        )
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq_r, dk_b, dv_b = jax.grad(loss_b, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_b), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_b), atol=2e-5)
+
+
+def test_gqa_varlen_segments():
+    q, k, v = _inputs(hq=8, hkv=2, sq=192, sk=192)
+    seg = jnp.asarray(
+        np.repeat([0, 1, 2], 64)[None].repeat(2, axis=0), jnp.int32
+    )
+    out = flash_attention(
+        q, k, v, q_segment_ids=seg, kv_segment_ids=seg, causal=True
+    )
+    ref = flash_attention(
+        q, _broadcast_kv(k, 4), _broadcast_kv(v, 4),
+        q_segment_ids=seg, kv_segment_ids=seg, causal=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
