@@ -100,6 +100,7 @@ class FlashMHA(nn.Module):
 
     embed_dim: int
     num_heads: int
+    num_kv_heads: Optional[int] = None  # GQA/MQA (TPU-native extension)
     bias: bool = True
     attention_dropout: float = 0.0
     causal: bool = False
@@ -117,13 +118,21 @@ class FlashMHA(nn.Module):
             raise ValueError(f"head_dim must be a multiple of 8, got {head_dim}")
         if self.use_rotary_emb not in (None, "1d", "2d"):
             raise ValueError(f"use_rotary_emb: {self.use_rotary_emb}")
+        kv_heads = self.num_kv_heads or self.num_heads
+        if self.num_heads % kv_heads != 0:
+            raise ValueError(
+                f"num_heads {self.num_heads} must be a multiple of"
+                f" num_kv_heads {kv_heads}"
+            )
+        self.kv_heads = kv_heads
         self.head_dim = head_dim
         if self.use_rotary_emb == "1d":
             self.rotary_emb = RotaryEmbedding(head_dim)
         elif self.use_rotary_emb == "2d":
             self.rotary_emb = RotaryEmbedding2D(head_dim)
         self.Wqkv = nn.Dense(
-            3 * self.embed_dim, use_bias=self.bias, dtype=self.dtype,
+            (self.num_heads + 2 * kv_heads) * head_dim,
+            use_bias=self.bias, dtype=self.dtype,
             param_dtype=self.param_dtype, name="Wqkv",
         )
         self.inner_attn = FlashAttention(
@@ -143,16 +152,45 @@ class FlashMHA(nn.Module):
         deterministic: bool = True,
     ):
         b, s, _ = x.shape
+        hq, hkv, hd = self.num_heads, self.kv_heads, self.head_dim
         qkv = self.Wqkv(x)
-        qkv = qkv.reshape(b, s, 3, self.num_heads, self.head_dim)
+        if hkv == hq:
+            qkv = qkv.reshape(b, s, 3, hq, hd)
+            if self.use_rotary_emb:
+                q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+                q, k = self.rotary_emb(q, k, seq_dimension=-3)
+                qkv = jnp.stack([q, k, v], axis=2)
+            context = self.inner_attn(
+                qkv,
+                key_padding_mask=key_padding_mask,
+                causal=self.causal,
+                deterministic=deterministic,
+            )
+            return self.out_proj(context.reshape(b, s, self.embed_dim))
+
+        # GQA/MQA: grouped kv heads flow to the kernel directly.
+        q = qkv[..., : hq * hd].reshape(b, s, hq, hd)
+        k = qkv[..., hq * hd : (hq + hkv) * hd].reshape(b, s, hkv, hd)
+        v = qkv[..., (hq + hkv) * hd :].reshape(b, s, hkv, hd)
         if self.use_rotary_emb:
-            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             q, k = self.rotary_emb(q, k, seq_dimension=-3)
-            qkv = jnp.stack([q, k, v], axis=2)
-        context = self.inner_attn(
-            qkv,
-            key_padding_mask=key_padding_mask,
+        dropout_p = 0.0 if deterministic else self.attention_dropout
+        seed = None
+        if dropout_p > 0.0:
+            seed = _seed_from_rng_key(self.make_rng("dropout"))
+        seg = pos = None
+        if key_padding_mask is not None:
+            seg, pos = make_segment_ids_from_mask(key_padding_mask)
+        context = flash_attention(
+            q, k, v,
             causal=self.causal,
-            deterministic=deterministic,
+            softmax_scale=self.softmax_scale,
+            q_segment_ids=seg,
+            kv_segment_ids=seg,
+            q_positions=pos,
+            kv_positions=pos,
+            dropout_p=dropout_p,
+            dropout_seed=seed,
+            block_sizes=self.block_sizes,
         )
         return self.out_proj(context.reshape(b, s, self.embed_dim))

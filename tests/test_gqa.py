@@ -77,3 +77,20 @@ def test_gqa_varlen_segments():
         q_segment_ids=seg, kv_segment_ids=seg, causal=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_flashmha_gqa_module():
+    import flax.linen as nn  # noqa: F401
+    from flash_attn_tpu.models.modules import FlashMHA
+
+    m = FlashMHA(embed_dim=256, num_heads=8, num_kv_heads=2, causal=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 128, 256)), jnp.float32
+    )
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # fewer kv projections than MHA
+    wqkv = params["params"]["Wqkv"]["kernel"]
+    assert wqkv.shape == (256, (8 + 2 * 2) * 32)
