@@ -124,6 +124,117 @@ def _core_bwd_vjp(cfg, residuals, dout):
 _flash_core.defvjp(_core_fwd_vjp, _core_bwd_vjp)
 
 
+def flash_attention_bwd_bshd(
+    q: jax.Array,  # (b, sq, h, d)
+    k: jax.Array,  # (b, sk, h_kv, d)
+    v: jax.Array,
+    out: jax.Array,  # (b, sq, h, d)
+    dout: jax.Array,
+    lse: jax.Array,  # (b, h, sq) fp32 — the *global* logsumexp
+    *,
+    causal: bool,
+    softmax_scale: float | None = None,
+    q_segment_ids: jax.Array | None = None,  # (b, sq)
+    kv_segment_ids: jax.Array | None = None,
+    q_positions: jax.Array | None = None,
+    kv_positions: jax.Array | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Standalone backward with an externally-supplied logsumexp.
+
+    The building block for distributed attention (ring SP): a per-shard
+    backward evaluated against the global lse / global (out, dout) is
+    exactly the partial gradient of the global softmax. Handles the same
+    padding/layout contract as ``flash_attention``. Returns (dq, dk, dv)
+    in bshd layout (dk/dv at kv-head width).
+    """
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if softmax_scale is None:
+        softmax_scale = d**-0.5
+    if interpret is None:
+        interpret = default_interpret()
+    if block_sizes is None:
+        block_sizes = BlockSizes.choose(seq_len_q=sq, seq_len_k=sk, head_dim=d)
+
+    has_segments = q_segment_ids is not None
+    if has_segments and q_positions is None:
+        q_positions = jnp.broadcast_to(
+            jnp.arange(sq, dtype=jnp.int32)[None], (b, sq)
+        )
+    if has_segments and kv_positions is None:
+        kv_positions = jnp.broadcast_to(
+            jnp.arange(sk, dtype=jnp.int32)[None], (b, sk)
+        )
+
+    d_pad = _round_up(d, MIN_BLOCK)
+    bq = min(block_sizes.block_q, _round_up(sq, MIN_BLOCK))
+    bk = min(block_sizes.block_k, _round_up(sk, MIN_BLOCK))
+    sq_pad = _round_up(sq, bq)
+    sk_pad = _round_up(sk, bk)
+    block_sizes = dataclasses.replace(
+        block_sizes,
+        block_q=bq,
+        block_k=bk,
+        block_q_dkv=_fit_block(block_sizes.block_q_dkv, sq_pad),
+        block_k_dkv=_fit_block(block_sizes.block_k_dkv, sk_pad),
+        block_q_dq=_fit_block(block_sizes.block_q_dq, sq_pad),
+        block_k_dq=_fit_block(block_sizes.block_k_dq, sk_pad),
+    )
+
+    def pad_bshd(x, s_tgt):
+        pads = [(0, 0), (0, s_tgt - x.shape[1]), (0, 0), (0, d_pad - d)]
+        if any(p != (0, 0) for p in pads):
+            x = jnp.pad(x, pads)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    qp = pad_bshd(q, sq_pad)
+    kp = pad_bshd(k, sk_pad)
+    vp = pad_bshd(v, sk_pad)
+    op = pad_bshd(out, sq_pad)
+    dop = pad_bshd(dout, sq_pad)
+    lse_p = lse.astype(jnp.float32)
+    if sq_pad != sq:
+        # Padded rows: dout rows are zero so their ds/di vanish; any finite
+        # lse keeps exp2 well-defined.
+        lse_p = jnp.pad(lse_p, [(0, 0), (0, 0), (0, sq_pad - sq)])
+    from flash_attn_tpu.kernels.common import NUM_LANES as _LANES
+
+    lse_rep = jnp.broadcast_to(lse_p[..., None], (*lse_p.shape, _LANES))
+
+    seg_args = (None,) * 4
+    if has_segments:
+        def pad_i32(x, s_tgt, fill):
+            if x.shape[1] != s_tgt:
+                x = jnp.pad(x, [(0, 0), (0, s_tgt - x.shape[1])],
+                            constant_values=fill)
+            return x.astype(jnp.int32)
+
+        seg_args = (
+            pad_i32(q_positions, sq_pad, 0),
+            pad_i32(kv_positions, sk_pad, 0),
+            pad_i32(q_segment_ids, sq_pad, -1),
+            pad_i32(kv_segment_ids, sk_pad, -1),
+        )
+
+    dq, dk, dv = flash_attention_bwd(
+        qp, kp, vp, op, dop, lse_rep,
+        *seg_args,
+        None,
+        sq=sq,
+        sk=sk,
+        causal=causal,
+        softmax_scale=float(softmax_scale),
+        dropout_p=0.0,
+        block_sizes=block_sizes,
+        interpret=interpret,
+    )
+    unpack_q = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :sq, :, :d]  # noqa: E731
+    unpack_k = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :sk, :, :d]  # noqa: E731
+    return unpack_q(dq), unpack_k(dk), unpack_k(dv)
+
+
 def flash_attention(
     q: jax.Array,  # (b, sq, h, d)
     k: jax.Array,  # (b, sk, h, d)

@@ -15,12 +15,20 @@ latency-hiding scheduler can overlap the ICI transfer with the Pallas
 kernel (communication rides ICI; compute dominates for large local
 shards).
 
-Forward-only in this revision (inference / frozen-encoder use); the
-training-path custom_vjp for ring is tracked for a later round.
+Training path: ``ring_flash_attention`` is differentiable via custom_vjp.
+The backward rotates (k, v, dk, dv) around the same ring; each device runs
+the flash backward kernels between its local Q and the resident shard
+using the *global* saved logsumexp (p = exp(s - lse_global) and
+di = rowsum(dout * out_global) make each per-shard backward exactly the
+partial gradient of the global softmax), accumulating dk/dv onto the
+traveling shard — after n hops the accumulators arrive back at the
+shard's home device.
 """
 
 from __future__ import annotations
 
+import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -49,6 +57,15 @@ def _merge_partials(o_a, lse_a, o_b, lse_b):
     return o, lse_new
 
 
+@dataclasses.dataclass(frozen=True)
+class _RingCfg:
+    axis_name: str
+    causal: bool
+    softmax_scale: Optional[float]
+    block_sizes: Optional[BlockSizes]
+    interpret: Optional[bool]
+
+
 def ring_flash_attention(
     q: jax.Array,  # (b, s_local, h, d) — local Q shard
     k: jax.Array,  # (b, s_local, h, d) — local K shard
@@ -61,7 +78,29 @@ def ring_flash_attention(
     interpret: Optional[bool] = None,
 ):
     """Exact attention over the full (sharded) sequence. Call inside
-    shard_map with q/k/v sharded along ``axis_name`` on the seq dim."""
+    shard_map with q/k/v sharded along ``axis_name`` on the seq dim.
+
+    Returns (o, lse). Differentiable w.r.t. (q, k, v) — gradients do not
+    flow through the returned lse (a diagnostic/merge artifact)."""
+    cfg = _RingCfg(axis_name, causal, softmax_scale, block_sizes, interpret)
+    return _ring_core(cfg, q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _ring_core_p(cfg, q, k, v):
+    return _ring_fwd(cfg, q, k, v)
+
+
+def _ring_core(cfg, q, k, v):
+    return _ring_core_p(cfg, q, k, v)
+
+
+def _ring_fwd(cfg: _RingCfg, q, k, v):
+    axis_name = cfg.axis_name
+    causal = cfg.causal
+    softmax_scale = cfg.softmax_scale
+    block_sizes = cfg.block_sizes
+    interpret = cfg.interpret
     n_dev = jax.lax.axis_size(axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     b, s_loc, h, d = q.shape
@@ -111,3 +150,81 @@ def ring_flash_attention(
             src = jnp.mod(src - 1, n_dev)  # the shard we now hold came from src-1
 
     return o_acc.astype(q.dtype), lse_acc
+
+
+def _ring_fwd_vjp(cfg: _RingCfg, q, k, v):
+    out, lse = _ring_fwd(cfg, q, k, v)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
+    """Ring backward: rotate (k, v, dk, dv); each device runs the flash
+    backward between its local Q and the resident shard using the GLOBAL
+    lse (and global out/dout for the di correction) — each per-shard
+    backward is then exactly the partial gradient of the global softmax.
+    dk/dv accumulate on the traveling shard: n-1 rotations alongside k/v
+    plus one final hop deliver them to the shard's home device."""
+    from flash_attn_tpu.ops.attention import flash_attention_bwd_bshd
+
+    q, k, v, out, lse = residuals
+    dout, _dlse = cot  # gradients do not flow through lse
+    dout = dout.astype(q.dtype)
+
+    axis_name = cfg.axis_name
+    n_dev = jax.lax.axis_size(axis_name)
+    my_idx = jax.lax.axis_index(axis_name)
+    b, s_loc, h, d = q.shape
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    q_pos = (
+        jnp.broadcast_to(jnp.arange(s_loc, dtype=jnp.int32)[None], (b, s_loc))
+        + my_idx.astype(jnp.int32) * s_loc
+    )
+    zeros_seg = jnp.zeros((b, s_loc), jnp.int32)
+
+    dq_acc = jnp.zeros(q.shape, jnp.float32)
+    kv = (k, v)
+    dkv = (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32))
+    src = my_idx.astype(jnp.int32)
+    for step in range(n_dev):
+        if step < n_dev - 1:
+            # Prefetch the next shard; independent of this step's kernels.
+            kv_next = jax.lax.ppermute(kv, axis_name, perm)
+        k_cur, v_cur = kv
+        kv_pos = (
+            jnp.broadcast_to(
+                jnp.arange(s_loc, dtype=jnp.int32)[None], (b, s_loc)
+            )
+            + src * s_loc
+        )
+        dq_i, dk_i, dv_i = flash_attention_bwd_bshd(
+            q, k_cur, v_cur, out, dout, lse,
+            causal=cfg.causal,
+            softmax_scale=cfg.softmax_scale,
+            q_segment_ids=zeros_seg,
+            kv_segment_ids=zeros_seg,
+            q_positions=q_pos,
+            kv_positions=kv_pos,
+            block_sizes=cfg.block_sizes,
+            interpret=cfg.interpret,
+        )
+        dq_acc = dq_acc + dq_i.astype(jnp.float32)
+        dkv = (
+            dkv[0] + dk_i.astype(jnp.float32),
+            dkv[1] + dv_i.astype(jnp.float32),
+        )
+        # dk/dv travel with their shard (one hop behind the kv prefetch);
+        # the final rotation delivers them home.
+        dkv = jax.lax.ppermute(dkv, axis_name, perm)
+        if step < n_dev - 1:
+            kv = kv_next
+            src = jnp.mod(src - 1, n_dev)
+
+    return (
+        dq_acc.astype(q.dtype),
+        dkv[0].astype(k.dtype),
+        dkv[1].astype(v.dtype),
+    )
+
+
+_ring_core_p.defvjp(_ring_fwd_vjp, _ring_bwd_vjp)
