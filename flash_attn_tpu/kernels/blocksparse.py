@@ -224,7 +224,8 @@ def _bs_fwd_kernel(
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
+        )
+        c = jnp.float32(scale * 1.4426950408889634)
         rows = (
             jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 0)
             + iq * block_q
@@ -240,10 +241,10 @@ def _bs_fwd_kernel(
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
         m_prev = m_ref[...]
         l_prev = l_ref[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_curr = jnp.max(s, axis=1, keepdims=True) * c
         m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, 0:1])
+        alpha = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2(s * c - m_next[:, 0:1])
         p = jnp.where(mask, p, 0.0)
         l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_next
@@ -271,7 +272,11 @@ def _bs_fwd_kernel(
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
         m0 = m_ref[...]
         l0 = l_ref[...]
-        lse_ref[0, 0] = jnp.where(l0 == 0.0, -jnp.inf, m0 + jnp.log(l0))
+        lse_ref[0, 0] = jnp.where(
+            l0 == 0.0,
+            -jnp.inf,
+            m0 * jnp.float32(0.6931471805599453) + jnp.log(l0),
+        )
 
 
 def blocksparse_attention_fwd(
@@ -432,11 +437,12 @@ def _bs_dkv_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse_col = lse_ref[0, 0][:, 0:1]
+        lse2 = lse_ref[0, 0][:, 0:1] * jnp.float32(1.4426950408889634)
         di_col = di_ref[0, 0][:, 0:1]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
+        )
+        c = jnp.float32(scale * 1.4426950408889634)
         rows = (
             jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 0)
             + iq * block_q
@@ -449,7 +455,7 @@ def _bs_dkv_kernel(
             rowmask_ref[...], ik, rows, cols, sk=sk, causal=causal,
             seg_refs=seg_refs,
         )
-        p = jnp.where(mask, jnp.exp(s - lse_col), 0.0)
+        p = jnp.where(mask, jnp.exp2(s * c - lse2), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -519,11 +525,12 @@ def _bs_dq_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse_col = lse_ref[0, 0][:, 0:1]
+        lse2 = lse_ref[0, 0][:, 0:1] * jnp.float32(1.4426950408889634)
         di_col = di_ref[0, 0][:, 0:1]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * jnp.float32(scale)
+        )
+        c = jnp.float32(scale * 1.4426950408889634)
         rows = (
             jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 0)
             + iq * block_q
@@ -536,7 +543,7 @@ def _bs_dq_kernel(
             rowmask_ref[...], cell, rows, cols, sk=sk, causal=causal,
             seg_refs=seg_refs,
         )
-        p = jnp.where(mask, jnp.exp(s - lse_col), 0.0)
+        p = jnp.where(mask, jnp.exp2(s * c - lse2), 0.0)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
