@@ -521,6 +521,22 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "parts"
     q, k, v = make_inputs()
 
+    if mode == "prod":
+        for causal in (True, False):
+            for bq, bk, ch in [(1024, 1024, 4), (1024, 512, 4), (1024, 512, 8),
+                               (2048, 512, 8), (1024, 768 // 128 * 128, 4),
+                               (1024, 1024, 8), (1536, 512, 6),
+                               (2048, 1024, 8), (1024, 2048, 4)]:
+                try:
+                    bs = BlockSizes(block_q=bq, block_k=bk, q_chains=ch)
+                    t = median_time(
+                        jax.jit(functools.partial(flash, causal=causal, bs=bs)),
+                        q, k, v)
+                    report(f"prod causal={causal} bq={bq} bk={bk} ch={ch}",
+                           t, causal)
+                except Exception as e:
+                    print(f"{bq}/{bk}/{ch}: {type(e).__name__}: {str(e)[:100]}")
+        return
     if mode == "bwd":
         import flash_attn_tpu.ops.attention as A
 

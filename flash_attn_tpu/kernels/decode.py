@@ -1,11 +1,7 @@
 """Paged decode attention with optional quantized (int8 / fp8) KV pages.
 
 Serving-path kernel (north star, BASELINE.json): one query token per
-sequence attends to a paged KV cache scattered across HBM. TPU-native
-design: instead of hand-rolled multi-page DMA descriptors, the page table
-is a scalar-prefetch operand and each page is fetched through a
-data-dependent BlockSpec index_map — Pallas's pipeline machinery then
-double-buffers page loads against compute automatically.
+sequence attends to a paged KV cache scattered across HBM.
 
 Layout:
   q:        (batch, n_kv_heads, group, d)   group = n_q_heads / n_kv_heads
@@ -14,13 +10,21 @@ Layout:
   lengths:  (batch,) int32 — valid tokens per sequence
   page_tbl: (batch, pages_per_seq_max) int32 physical page ids
 
-Grid: **(batch, page)** — one grid step streams a page for *all* KV heads
-at once (decode is bandwidth/overhead-bound: merging the head dimension
-into the step cuts grid steps by n_kv_heads and makes each DMA
-n_kv_heads * page_size * d wide). Scores for every (head, group-row) are
-carried as one (n_kv_heads * group, lanes) online-softmax state. Dequant
-scales are applied to the SCORES (q.k^T * s_k) and to the P@V accumulation
-(row-scaled P), so the int8/fp8 payload feeds the MXU directly.
+Compiled path (TPU): grid **(batch, kv_block)** where one grid step covers
+``pages_per_block`` pages for ALL kv heads; the KV arrays stay in HBM and
+the kernel issues its own per-page async copies into a double-buffered
+VMEM block — the copies for block j+1 start before block j's compute, so
+page gathering overlaps the math (decode is bandwidth/overhead-bound;
+per-page BlockSpec pipelining costs a grid step per page plus per-input
+bookkeeping). The scattered pages land contiguously in the VMEM block, so
+compute sees one wide (h, block, d) tile. Scores for every (head,
+group-row) are carried as one (n_kv_heads * group, lanes) online-softmax
+state. Dequant scales are applied to the SCORES (q.k^T * s_k) and to the
+P@V accumulation (row-scaled P), so the int8/fp8 payload feeds the MXU
+directly.
+
+Interpret path (CPU tests): the same math with per-page data-dependent
+BlockSpec index maps (the interpreter does not model DMA overlap anyway).
 """
 
 from __future__ import annotations
@@ -44,31 +48,34 @@ def _decode_kernel(
     lengths_ref,  # scalar prefetch (batch,)
     *refs,
     page_size: int,
-    pages_max: int,
+    num_blocks: int,
+    pages_per_block: int,
     quantized: bool,
     scale: float,
     group: int,
     n_kv_heads: int,
 ):
+    ppb = pages_per_block
     idx = 0
     q_ref = refs[idx]
     idx += 1
-    k_ref = refs[idx]
-    idx += 1
+    k_refs = refs[idx : idx + ppb]
+    idx += ppb
     if quantized:
-        ks_ref = refs[idx]
-        idx += 1
-    v_ref = refs[idx]
-    idx += 1
+        ks_refs = refs[idx : idx + ppb]
+        idx += ppb
+    v_refs = refs[idx : idx + ppb]
+    idx += ppb
     if quantized:
-        vs_ref = refs[idx]
-        idx += 1
+        vs_refs = refs[idx : idx + ppb]
+        idx += ppb
     o_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 4]
 
     b = pl.program_id(0)
     j = pl.program_id(1)
     length = lengths_ref[b]
     hg = n_kv_heads * group
+    bk = ppb * page_size  # kv block width per grid step
 
     @pl.when(j == 0)
     def _init():
@@ -76,22 +83,27 @@ def _decode_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j * page_size < length)
+    @pl.when(j * bk < length)
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # (h, group, d)
-        k = k_ref[:, 0].astype(jnp.float32)  # (h, page_size, d)
-        # Batched over kv heads: (h, g, d) x (h, ps, d) -> (h, g, ps).
+        # Concatenate the ppb pages into one (h, bk, d) tile: a single wide
+        # dot instead of ppb narrow ones (long contexts are otherwise
+        # grid-step-overhead-bound at one page per step).
+        k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(
+            jnp.float32
+        )
+        # Batched over kv heads: (h, g, d) x (h, bk, d) -> (h, g, bk).
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * jnp.float32(scale)
         if quantized:
             # column-scale the scores by the per-token k scales
-            s = s * ks_ref[:, 0]  # (h, 1, ps) broadcasts over group
-        s = s.reshape(hg, page_size)
+            ks = jnp.concatenate([r[:, 0] for r in ks_refs], axis=-1)
+            s = s * ks.reshape(n_kv_heads, 1, bk)  # broadcasts over group
+        s = s.reshape(hg, bk)
         pos = (
-            jax.lax.broadcasted_iota(jnp.int32, (hg, page_size), 1)
-            + j * page_size
+            jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
         )
         mask = pos < length
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
@@ -106,20 +118,25 @@ def _decode_kernel(
         l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         m_ref[...] = m_next
 
-        v = v_ref[:, 0].astype(jnp.float32)  # (h, page_size, d)
+        v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1).astype(
+            jnp.float32
+        )  # (h, bk, d)
         if quantized:
-            # fold v row scales into p: (h, 1, ps) over (h, g, ps)
-            p = (p.reshape(n_kv_heads, group, page_size) * vs_ref[:, 0]
-                 ).reshape(hg, page_size)
-        # (h, g, ps) x (h, ps, d) -> (h, g, d)
+            # fold v row scales into p: (h, 1, bk) over (h, g, bk)
+            vs = jnp.concatenate([r[:, 0] for r in vs_refs], axis=-1)
+            p = (
+                p.reshape(n_kv_heads, group, bk)
+                * vs.reshape(n_kv_heads, 1, bk)
+            ).reshape(hg, bk)
+        # (h, g, bk) x (h, bk, d) -> (h, g, d)
         pv = jax.lax.dot_general(
-            p.reshape(n_kv_heads, group, page_size), v,
+            p.reshape(n_kv_heads, group, bk), v,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * alpha[:, 0:1] + pv.reshape(hg, -1)
 
-    @pl.when(j == pages_max - 1)
+    @pl.when(j == num_blocks - 1)
     def _finalize():
         l = l_ref[:, 0:1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -128,6 +145,222 @@ def _decode_kernel(
             .reshape(n_kv_heads, group, -1)
             .astype(o_ref.dtype)
         )
+
+
+def _decode_dma_kernel(
+    page_tbl_ref,  # scalar prefetch (batch, pages_max)
+    lengths_ref,  # scalar prefetch (batch,)
+    *refs,
+    page_size: int,
+    num_blocks: int,
+    ppb: int,
+    quantized: bool,
+    scale: float,
+    group: int,
+    n_kv_heads: int,
+):
+    idx = 0
+    q_ref = refs[idx]
+    idx += 1
+    k_hbm, v_hbm = refs[idx : idx + 2]
+    idx += 2
+    if quantized:
+        ks_hbm, vs_hbm = refs[idx : idx + 2]
+        idx += 2
+    o_ref = refs[idx]
+    idx += 1
+    m_ref, l_ref, acc_ref, kbuf, vbuf = refs[idx : idx + 5]
+    idx += 5
+    if quantized:
+        ksbuf, vsbuf = refs[idx : idx + 2]
+        idx += 2
+    sems = refs[idx]
+
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    length = lengths_ref[b]
+    hg = n_kv_heads * group
+    bk = ppb * page_size
+
+    def block_copies(slot, blk):
+        """Descriptors gathering block ``blk``'s pages into buffer ``slot``.
+        Scattered HBM pages land contiguously in the VMEM block."""
+        descs = []
+        for i in range(ppb):
+            pid = page_tbl_ref[b, blk * ppb + i]
+            sl = pl.ds(i * page_size, page_size)
+            descs.append(pltpu.make_async_copy(
+                k_hbm.at[:, pid], kbuf.at[slot, :, sl, :], sems.at[0, slot, i]
+            ))
+            descs.append(pltpu.make_async_copy(
+                v_hbm.at[:, pid], vbuf.at[slot, :, sl, :], sems.at[1, slot, i]
+            ))
+            if quantized:
+                descs.append(pltpu.make_async_copy(
+                    ks_hbm.at[:, pid], ksbuf.at[slot, :, :, sl],
+                    sems.at[2, slot, i],
+                ))
+                descs.append(pltpu.make_async_copy(
+                    vs_hbm.at[:, pid], vsbuf.at[slot, :, :, sl],
+                    sems.at[3, slot, i],
+                ))
+        return descs
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        for c in block_copies(0, 0):
+            c.start()
+
+    @pl.when(j * bk < length)
+    def _compute():
+        slot = jax.lax.rem(j, 2)
+        # Prefetch the next block while this one computes.
+        @pl.when((j + 1) * bk < length)
+        def _():
+            for c in block_copies(jax.lax.rem(j + 1, 2), j + 1):
+                c.start()
+
+        for c in block_copies(slot, j):
+            c.wait()
+
+        # Dequant/compute in bf16 (payloads are <= 8 bits of mantissa
+        # anyway); accumulation stays fp32 via preferred_element_type.
+        q = q_ref[0].astype(jnp.bfloat16)  # (h, group, d)
+        k = kbuf[slot].astype(jnp.bfloat16)  # (h, bk, d)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(scale)
+        if quantized:
+            s = s * ksbuf[slot]  # (h, 1, bk) broadcasts over group
+        s = s.reshape(hg, bk)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
+        mask = pos < length
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, 0:1])
+        p = jnp.where(mask, p, 0.0)
+        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = m_next
+
+        v = vbuf[slot].astype(jnp.bfloat16)  # (h, bk, d)
+        if quantized:
+            p = (
+                p.reshape(n_kv_heads, group, bk) * vsbuf[slot]
+            ).reshape(hg, bk)
+        pv = jax.lax.dot_general(
+            p.reshape(n_kv_heads, group, bk).astype(jnp.bfloat16), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha[:, 0:1] + pv.reshape(hg, -1)
+
+    @pl.when(j == num_blocks - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (
+            (acc_ref[...] * l_inv)
+            .reshape(n_kv_heads, group, -1)
+            .astype(o_ref.dtype)
+        )
+
+
+def _paged_decode_dma(
+    q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
+    *, softmax_scale, interpret,
+):
+    batch, n_kv_heads, group, d = q4.shape
+    _, num_pages, page_size, _ = k_pages.shape
+    pages_max = page_table.shape[1]
+    quantized = k_scales is not None
+
+    # Pages per compute block: wide enough to amortize per-step and
+    # per-descriptor work, bounded by a VMEM budget covering the
+    # double-buffered payload plus the bf16 dequant transients
+    # ((2*itemsize + 2) bytes per element per k/v).
+    budget = 10 * 1024 * 1024
+    per_page = (
+        2 * n_kv_heads * page_size * d
+        * (2 * k_pages.dtype.itemsize + 2)
+    )
+    ppb = max(1, min(8, pages_max, budget // per_page))
+    while pages_max % ppb != 0:
+        ppb -= 1
+    if pages_max % ppb != 0:
+        pad = ppb - pages_max % ppb
+        page_table = jnp.pad(page_table, [(0, 0), (0, pad)])
+        pages_max += pad
+    num_blocks = pages_max // ppb
+    bk = ppb * page_size
+    hg = n_kv_heads * group
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, n_kv_heads, group, d), lambda b_, j, tbl, ln: (b_, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # k_pages stay in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [q4, k_pages, v_pages]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        args += [k_scales.astype(jnp.float32), v_scales.astype(jnp.float32)]
+
+    scratch = [
+        pltpu.VMEM((hg, NUM_LANES), jnp.float32),  # m
+        pltpu.VMEM((hg, NUM_LANES), jnp.float32),  # l
+        pltpu.VMEM((hg, d), jnp.float32),  # acc
+        pltpu.VMEM((2, n_kv_heads, bk, d), k_pages.dtype),  # kbuf
+        pltpu.VMEM((2, n_kv_heads, bk, d), v_pages.dtype),  # vbuf
+    ]
+    if quantized:
+        scratch += [
+            pltpu.VMEM((2, n_kv_heads, 1, bk), jnp.float32),
+            pltpu.VMEM((2, n_kv_heads, 1, bk), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((4 if quantized else 2, 2, ppb)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_dma_kernel,
+            page_size=page_size,
+            num_blocks=num_blocks,
+            ppb=ppb,
+            quantized=quantized,
+            scale=float(softmax_scale),
+            group=group,
+            n_kv_heads=n_kv_heads,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch, num_blocks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, n_kv_heads, group, d), lambda b_, j, tbl, ln: (b_, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q4.shape, q4.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(page_table.astype(jnp.int32), lengths.astype(jnp.int32), *args)
+    return out
 
 
 def paged_decode_attention(
@@ -162,47 +395,69 @@ def paged_decode_attention(
 
     q4 = q.reshape(batch, n_kv_heads, group, d)
 
-    # One grid step = one page across ALL kv heads.
-    page_map = lambda b_, j, tbl, ln: (0, tbl[b_, j], 0, 0)  # noqa: E731
+    if not interpret:
+        out = _paged_decode_dma(
+            q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
+            softmax_scale=softmax_scale, interpret=False,
+        )
+        return out.reshape(batch, n_q_heads, d)
+
+    # One grid step = ``pages_per_block`` pages across ALL kv heads: the
+    # page arrays are passed once per sub-page with offset index maps and
+    # concatenated in-kernel, so long contexts are not grid-step-overhead
+    # bound. Pad the table so pages_per_block divides it (extra slots point
+    # at page 0; masked out by position >= length).
+    pages_per_block = min(8, pages_max)
+    if pages_max % pages_per_block != 0:
+        pad = pages_per_block - pages_max % pages_per_block
+        page_table = jnp.pad(page_table, [(0, 0), (0, pad)])
+        pages_max = pages_max + pad
+    num_blocks = pages_max // pages_per_block
+
+    def page_map_i(i):
+        def m(b_, j, tbl, ln):
+            return (0, tbl[b_, j * pages_per_block + i], 0, 0)
+        return m
+
+    page_specs = [
+        pl.BlockSpec(
+            (n_kv_heads, 1, page_size, d), page_map_i(i),
+            memory_space=pltpu.VMEM,
+        )
+        for i in range(pages_per_block)
+    ]
+    scale_specs = [
+        pl.BlockSpec(
+            (n_kv_heads, 1, 1, page_size), page_map_i(i),
+            memory_space=pltpu.VMEM,
+        )
+        for i in range(pages_per_block)
+    ]
+
     in_specs = [
         pl.BlockSpec(
             (1, n_kv_heads, group, d), lambda b_, j, tbl, ln: (b_, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        pl.BlockSpec(
-            (n_kv_heads, 1, page_size, d), page_map, memory_space=pltpu.VMEM
-        ),
+        *page_specs,
     ]
-    args = [q4, k_pages]
+    args = [q4] + [k_pages] * pages_per_block
     if quantized:
-        in_specs.append(
-            pl.BlockSpec(
-                (n_kv_heads, 1, 1, page_size), page_map,
-                memory_space=pltpu.VMEM,
-            )
-        )
-        args.append(k_scales.astype(jnp.float32))
-    in_specs.append(
-        pl.BlockSpec(
-            (n_kv_heads, 1, page_size, d), page_map, memory_space=pltpu.VMEM
-        )
-    )
-    args.append(v_pages)
+        in_specs += scale_specs
+        args += [k_scales.astype(jnp.float32)] * pages_per_block
+    in_specs += page_specs
+    args += [v_pages] * pages_per_block
     if quantized:
-        in_specs.append(
-            pl.BlockSpec(
-                (n_kv_heads, 1, 1, page_size), page_map,
-                memory_space=pltpu.VMEM,
-            )
-        )
-        args.append(v_scales.astype(jnp.float32))
+        in_specs += scale_specs
+        args += [v_scales.astype(jnp.float32)] * pages_per_block
 
     hg = n_kv_heads * group
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel,
             page_size=page_size,
-            pages_max=pages_max,
+            num_blocks=num_blocks,
+            pages_per_block=pages_per_block,
             quantized=quantized,
             scale=float(softmax_scale),
             group=group,
@@ -210,7 +465,7 @@ def paged_decode_attention(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(batch, pages_max),
+            grid=(batch, num_blocks),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, n_kv_heads, group, d), lambda b_, j, tbl, ln: (b_, 0, 0, 0),
