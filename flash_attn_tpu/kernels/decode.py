@@ -395,7 +395,9 @@ def paged_decode_attention(
 
     q4 = q.reshape(batch, n_kv_heads, group, d)
 
-    if not interpret:
+    # The manual-DMA path needs 128-lane-aligned page slices; head dims
+    # below 128 use the BlockSpec pipeline instead.
+    if not interpret and d % 128 == 0:
         out = _paged_decode_dma(
             q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
             softmax_scale=softmax_scale, interpret=False,
@@ -406,8 +408,10 @@ def paged_decode_attention(
     # page arrays are passed once per sub-page with offset index maps and
     # concatenated in-kernel, so long contexts are not grid-step-overhead
     # bound. Pad the table so pages_per_block divides it (extra slots point
-    # at page 0; masked out by position >= length).
-    pages_per_block = min(8, pages_max)
+    # at page 0; masked out by position >= length). Quantized runs carry
+    # twice the inputs (payload + scales, each double-buffered): halve the
+    # block to stay inside VMEM.
+    pages_per_block = min(4 if quantized else 8, pages_max)
     if pages_max % pages_per_block != 0:
         pad = pages_per_block - pages_max % pages_per_block
         page_table = jnp.pad(page_table, [(0, 0), (0, pad)])
