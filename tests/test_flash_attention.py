@@ -2,7 +2,7 @@
 
 Methodology mirrors the reference test suite (reference
 tests/test_flash_attn.py): dual-reference 2x error bound, deliberately
-non-aligned seqlens (97, 257) and non-power-of-2 head dims (56, 80), fp32 +
+non-aligned seqlens (97, 257, 1025) and non-power-of-2 head dims (56, 80, 96), fp32 +
 bf16, causal and non-causal. Gradient checks — commented out in the
 reference pending its missing bwd kernel — are ACTIVE here.
 """
@@ -36,8 +36,8 @@ def _refs(q, k, v, **kw):
 
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("d", [32, 56, 64, 80, 128])
-@pytest.mark.parametrize("seqlen", [97, 128, 257, 384, 512])
+@pytest.mark.parametrize("d", [32, 56, 64, 80, 96, 128])
+@pytest.mark.parametrize("seqlen", [97, 128, 257, 384, 512, 1025])
 def test_fwd_dense(dtype, causal, d, seqlen):
     rng = np.random.default_rng(seed=hash((causal, d, seqlen)) % 2**32)
     b, h = 2, 2
