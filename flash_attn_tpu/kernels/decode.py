@@ -211,8 +211,14 @@ def _decode_dma_kernel(
         m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
-        for c in block_copies(0, 0):
-            c.start()
+        # Mirror _compute's guard: a batch element with length <= 0 never
+        # waits on these copies, and un-awaited semaphore increments would
+        # leak into the next batch element's waits (its compute could then
+        # read kbuf/vbuf before its own copy lands).
+        @pl.when(length > 0)
+        def _():
+            for c in block_copies(0, 0):
+                c.start()
 
     @pl.when(j * bk < length)
     def _compute():
@@ -293,8 +299,9 @@ def _paged_decode_dma(
         * (2 * k_pages.dtype.itemsize + 2)
     )
     ppb = max(1, min(8, pages_max, budget // per_page))
-    while pages_max % ppb != 0:
-        ppb -= 1
+    # Keep the budget-derived ppb and pad the page table up to a multiple
+    # (padded slots fetch page 0; masked out by pos >= length) — shrinking
+    # ppb to a divisor would degrade prime pages_per_seq to 1 page/step.
     if pages_max % ppb != 0:
         pad = ppb - pages_max % ppb
         page_table = jnp.pad(page_table, [(0, 0), (0, pad)])

@@ -77,6 +77,11 @@ def _fwd_kernel(
     # Which mask components can this launch ever need? (static)
     bounds_possible = sk != sk_pad  # padded key columns at the last k block
     bqs = block_q // q_chains  # sub-q chain height
+    # Does exp2(DEFAULT_MASK_VALUE * c - m) underflow to exactly 0? With a
+    # pathologically small softmax_scale (< ~1e-36) it does not, and masked
+    # slots would leak probability mass — fall back to an explicit select.
+    _c_static = scale * 1.4426950408889634
+    mask_underflows = DEFAULT_MASK_VALUE * _c_static <= -150.0
 
     @pl.when(ik == 0)
     def _init():
@@ -163,7 +168,7 @@ def _fwd_kernel(
             m_next = jnp.maximum(m_prev, m_curr)  # (bqs, NUM_LANES)
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(s * c - m_next[:, 0:1])
-            if masked and has_segments:
+            if masked and (has_segments or not mask_underflows):
                 # Explicit zero for masked slots: a row fully masked in this
                 # block but valid in a *later* one (possible only with
                 # segments, where a row's partner keys may start
@@ -171,7 +176,8 @@ def _fwd_kernel(
                 # Without segments, every row sees valid keys in kv block 0
                 # (cols 0..r for causal; cols < sk for bounds), so m is
                 # genuine by the time any partially-masked block is
-                # processed and exp2(DMV*c - m) underflows to exactly 0.
+                # processed and exp2(DMV*c - m) underflows to exactly 0 —
+                # unless softmax_scale is tiny (see mask_underflows above).
                 p = jnp.where(mask, p, 0.0)
 
             # The normalizer sums the *un-dropped* probabilities (dropout

@@ -97,8 +97,11 @@ def decode_step(
         lp = p[f"h_{i}"]
         h = _layer_norm(x.astype(jnp.float32), lp["ln_1"]).astype(cfg.dtype)
         q, k, v = _qkv(h, lp["attn"], cfg)  # (b, 1, n_head, hd)
+        # Raw lengths: append_token redirects negative-length (inactive)
+        # slots to the reserved scratch page itself, so safety does not
+        # depend on the engine zeroing freed page-table rows.
         cache = append_token(
-            caches[i], k[:, 0], v[:, 0], page_table, safe_len
+            caches[i], k[:, 0], v[:, 0], page_table, lengths
         )
         new_caches.append(cache)
         ctx = paged_decode_attention(

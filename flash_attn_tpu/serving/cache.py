@@ -283,10 +283,11 @@ class PageAllocator:
     """Host-side physical-page bookkeeping for continuous batching."""
 
     def __init__(self, num_pages: int, page_size: int, pages_per_seq: int,
-                 reserved: int = 0):
-        """``reserved`` low page ids are never handed out (the serving
-        engine keeps page 0 as the scratch target of inactive batch
-        slots)."""
+                 reserved: int = 1):
+        """``reserved`` low page ids are never handed out. Defaults to 1
+        because ``append_token`` unconditionally redirects inactive-slot
+        writes to page 0 as scratch — handing page 0 to a sequence would
+        let those writes silently corrupt it."""
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
         self._free = list(range(num_pages - 1, reserved - 1, -1))

@@ -161,11 +161,14 @@ def test_append_quantized_consistency():
 
 
 def test_page_allocator():
-    alloc = PageAllocator(num_pages=6, page_size=128, pages_per_seq=3)
+    # num_pages=7 with the default reserved=1 -> 6 allocatable pages;
+    # page 0 is append_token's inactive-slot scratch and never handed out.
+    alloc = PageAllocator(num_pages=7, page_size=128, pages_per_seq=3)
     p0 = alloc.alloc(0, 200)  # 2 pages
     assert len(p0) == 2 and alloc.free_pages == 4
+    assert 0 not in p0
     p1 = alloc.alloc(1, 100)
-    assert len(p1) == 1
+    assert len(p1) == 1 and 0 not in p1
     new = alloc.extend(0, 300)  # needs a 3rd page
     assert new is not None
     assert alloc.extend(0, 300) is None  # already covered
