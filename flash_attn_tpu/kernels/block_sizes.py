@@ -44,13 +44,19 @@ class BlockSizes:
     # one chain overlap the MXU streams of the others (measured ~1.45x on
     # v5e). Clamped at launch so block_q / q_chains stays a multiple of 128.
     q_chains: int = 4
+    # Chain count on causal DIAGONAL blocks, where chain j only attends key
+    # columns [0, (j+1)*block_q/q_chains_diag): finer chains skip more of
+    # the upper triangle (waste 1/(2*chains)), and measured v5e prefers the
+    # finest (8 at bq=1024) on the diagonal even though interior blocks
+    # prefer 4. Clamped at launch like q_chains.
+    q_chains_diag: int = 8
 
     def __post_init__(self):
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if f.name == "q_chains":
+            if f.name in ("q_chains", "q_chains_diag"):
                 if v < 1:
-                    raise ValueError(f"q_chains={v} must be >= 1")
+                    raise ValueError(f"{f.name}={v} must be >= 1")
                 continue
             if v % MIN_BLOCK != 0:
                 raise ValueError(f"{f.name}={v} must be a multiple of {MIN_BLOCK}")

@@ -36,6 +36,24 @@ from flash_attn_tpu.kernels.block_sizes import BlockSizes
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
+# Dev toggle (benchmarks/ab_interleave.py): disable the diagonal-block
+# specialization to A/B it against the generic masked path.
+ENABLE_DIAG_SPECIALIZATION = True
+# Dev knob: sub-q chain count used on diagonal blocks (None = same as the
+# interior q_chains). More chains = finer causal skip but narrower dots.
+DIAG_CHAINS = None
+
+
+def _tri_coords(t, nq):
+    """Invert the lexicographic lower-triangle enumeration: step ``t`` of
+    nq*(nq+1)/2 -> (iq, ik) with ik <= iq. Integer-only (branch-free sum of
+    compares against the row-start offsets r*(r+1)/2) so it is usable inside
+    BlockSpec index maps on the scalar core."""
+    iq = jnp.int32(0)
+    for r in range(1, nq):
+        iq = iq + (t >= r * (r + 1) // 2).astype(jnp.int32)
+    ik = t - iq * (iq + 1) // 2
+    return iq, ik
 
 
 def _fwd_kernel(
@@ -45,6 +63,7 @@ def _fwd_kernel(
     sk_pad: int,
     block_q: int,
     block_k: int,
+    num_q_blocks: int,
     num_k_blocks: int,
     causal: bool,
     has_segments: bool,
@@ -53,6 +72,8 @@ def _fwd_kernel(
     num_heads: int,
     save_lse: bool,
     q_chains: int,
+    diag_chains: int,
+    tri_grid: bool,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -68,8 +89,14 @@ def _fwd_kernel(
     else:
         o_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 4]
 
-    iq = pl.program_id(2)
-    ik = pl.program_id(3)
+    if tri_grid:
+        # Triangular linearized causal grid: (b, h, t) covers ONLY the
+        # executed lower-triangle blocks — no skipped grid steps, no dead
+        # K/V prefetch. Requires nq == nk and bq == bk (self-attention).
+        iq, ik = _tri_coords(pl.program_id(2), num_q_blocks)
+    else:
+        iq = pl.program_id(2)
+        ik = pl.program_id(3)
     # program_id must be read at kernel top level (the CPU interpreter does
     # not substitute it inside pl.when branches).
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
@@ -204,9 +231,104 @@ def _fwd_kernel(
             )
             acc_ref[rows_sl] = acc_ref[rows_sl] * alpha[:, 0:1] + pv
 
+    def _compute_diag():
+        """Diagonal-block specialization (causal, bq == bk, no segments /
+        bounds / dropout): under those static conditions a masked block IS
+        the diagonal (iq == ik — see the needs_mask/should_run algebra
+        below), so sub-q chain ``j`` (rows [j*bqs, (j+1)*bqs)) only attends
+        key columns [0, (j+1)*bqs). Each chain issues ONE narrower QK^T dot
+        instead of the full-width one (3/8 of the block's dot FLOPs saved at
+        q_chains=4 — the reference analog is its q-step skip,
+        fmha_fprop_kernel_1xN.h:302, at 16-row granularity) and the causal
+        mask reduces to a STATIC (bqs, bqs) triangle on the last chunk —
+        no per-block iota/add over the full tile."""
+        dch = DIAG_CHAINS or diag_chains
+        while block_q % (dch * 128) != 0 and dch > 1:
+            dch -= 1
+        bqd = block_q // dch
+        k = k_ref[0, 0]  # (block_k, d)
+        v = v_ref[0, 0]
+        # Phase 1: all chains' dots first (independent MXU streams).
+        ss = []
+        for j in range(dch):
+            w = (j + 1) * bqd
+            qj = q_ref[0, 0, j * bqd : (j + 1) * bqd, :]
+            ss.append(
+                jax.lax.dot_general(
+                    qj, k[:w], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        c = jnp.float32(scale * 1.4426950408889634)
+        tri = (
+            jax.lax.broadcasted_iota(jnp.int32, (bqd, bqd), 0)
+            >= jax.lax.broadcasted_iota(jnp.int32, (bqd, bqd), 1)
+        )
+        # Phase 2: per-chain online softmax + PV on [head | diag] halves.
+        for j in range(dch):
+            rows_sl = slice(j * bqd, (j + 1) * bqd)
+            s = ss[j]  # (bqd, (j+1)*bqd)
+            s_diag = jnp.where(tri, s[:, j * bqd :], DEFAULT_MASK_VALUE)
+            m_prev = m_ref[rows_sl]
+            l_prev = l_ref[rows_sl]
+            m_curr = jnp.max(s_diag, axis=1, keepdims=True)
+            if j > 0:
+                s_head = s[:, : j * bqd]  # fully below the diagonal
+                m_curr = jnp.maximum(
+                    m_curr, jnp.max(s_head, axis=1, keepdims=True)
+                )
+            m_curr = m_curr * c
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p_diag = jnp.exp2(s_diag * c - m_next[:, 0:1])
+            l_curr = jnp.sum(p_diag, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p_diag.astype(v.dtype),
+                v[j * bqd : (j + 1) * bqd],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if j > 0:
+                p_head = jnp.exp2(s_head * c - m_next[:, 0:1])
+                l_curr = l_curr + jnp.sum(p_head, axis=1, keepdims=True)
+                pv = pv + jax.lax.dot_general(
+                    p_head.astype(v.dtype),
+                    v[: j * bqd],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            l_ref[rows_sl] = alpha * l_prev + l_curr
+            m_ref[rows_sl] = m_next
+            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha[:, 0:1] + pv
+
+    # Static gate for the diagonal specialization: requires bq == bk so
+    # that (should_run & needs_mask) implies iq == ik exactly, and the
+    # underflow guarantee so masked slots vanish without a second select.
+    use_diag = (
+        ENABLE_DIAG_SPECIALIZATION
+        and causal
+        and not has_segments
+        and not bounds_possible
+        and block_q == block_k
+        and p_drop == 0.0
+        and mask_underflows
+    )
+
     if has_segments:
         # Segment boundaries can fall anywhere: every block is masked.
         _compute(masked=True)
+    elif tri_grid:
+        # Triangular grid: every step is executed; the diagonal block
+        # (ik == iq) is the only one needing a mask. With bounds padding
+        # the only block touching cols >= sk is ik == nk-1, reached only
+        # by row nq-1 — i.e. also its diagonal block, so the single
+        # masked=True call covers causal + bounds together (use_diag is
+        # gated off when bounds_possible).
+        diag_fn = _compute_diag if use_diag else (
+            lambda: _compute(masked=True)
+        )
+        pl.when(ik == iq)(diag_fn)
+        pl.when(ik != iq)(lambda: _compute(masked=False))
     else:
         # Per-block mask requirement (traced): the last k block when sk is
         # padded, and blocks intersecting the causal diagonal. Interior
@@ -223,7 +345,10 @@ def _fwd_kernel(
             # Skip kv blocks entirely above the diagonal (reference analog:
             # fmha_fprop_kernel_1xN.h:302 skips q steps below the k block).
             should_run = (iq + 1) * block_q - 1 >= ik * block_k
-            pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
+            diag_fn = _compute_diag if use_diag else (
+                lambda: _compute(masked=True)
+            )
+            pl.when(should_run & needs_mask)(diag_fn)
             pl.when(should_run & jnp.logical_not(needs_mask))(
                 lambda: _compute(masked=False)
             )
@@ -236,7 +361,7 @@ def _fwd_kernel(
             # No mask component exists statically: single fast path.
             _compute(masked=False)
 
-    @pl.when(ik == num_k_blocks - 1)
+    @pl.when((ik == iq) if tri_grid else (ik == num_k_blocks - 1))
     def _finalize():
         l = l_ref[:, 0:1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -308,10 +433,49 @@ def flash_attention_fwd(
     q_chains = max(1, min(block_sizes.q_chains, bq // 128))
     while bq % (q_chains * 128) != 0:
         q_chains -= 1
+    diag_chains = max(1, min(block_sizes.q_chains_diag, bq // 128))
+    while bq % (diag_chains * 128) != 0:
+        diag_chains -= 1
     has_segments = q_segment_ids is not None
     p_drop = float(dropout_p)
 
-    grid = (b, h, num_q_blocks, num_k_blocks)
+    # Triangular linearized grid for causal self-attention: enumerate only
+    # the nq*(nq+1)/2 executed lower-triangle blocks instead of a dense
+    # nq*nk grid where ~half the steps are skipped — each skipped step
+    # still costs a grid-step of pipeline overhead (~0.35 ms at S=4K).
+    tri_grid = (
+        causal
+        and not has_segments
+        and bq == bk
+        and sq_pad == sk_pad
+        and num_q_blocks > 1
+    )
+
+    if tri_grid:
+        grid = (b, h, num_q_blocks * (num_q_blocks + 1) // 2)
+
+        def q_index(b_, h_, t):
+            return (b_, h_, _tri_coords(t, num_q_blocks)[0], 0)
+
+        def kv_index(b_, h_, t):
+            return (b_, h_ // group, _tri_coords(t, num_q_blocks)[1], 0)
+    else:
+        grid = (b, h, num_q_blocks, num_k_blocks)
+
+        def q_index(b_, h_, iq, ik):
+            return (b_, h_, iq, 0)
+
+        if causal and not has_segments:
+            # Causal-skipped kv blocks are never read: redirect their DMA
+            # to block 0 — the block the *next* q row starts with — so the
+            # pipeline prefetch does useful work instead of streaming dead
+            # K/V tiles (~half the kv traffic at long seqlen).
+            def kv_index(b_, h_, iq, ik):
+                run = (iq + 1) * bq - 1 >= ik * bk
+                return (b_, h_ // group, jax.lax.select(run, ik, 0), 0)
+        else:
+            def kv_index(b_, h_, iq, ik):
+                return (b_, h_ // group, ik, 0)
 
     in_specs = []
     args = []
@@ -323,23 +487,9 @@ def flash_attention_fwd(
             )
         )
         args.append(dropout_seed.reshape(1, 1).astype(jnp.uint32))
-    if causal and not has_segments:
-        # Causal-skipped kv blocks are never read: redirect their DMA to
-        # block 0 — the block the *next* q row starts with — so the pipeline
-        # prefetch does useful work instead of streaming dead K/V tiles
-        # (~half the kv traffic at long seqlen).
-        def kv_index(b_, h_, iq, ik):
-            run = (iq + 1) * bq - 1 >= ik * bk
-            return (b_, h_ // group, jax.lax.select(run, ik, 0), 0)
-    else:
-        def kv_index(b_, h_, iq, ik):
-            return (b_, h_ // group, ik, 0)
 
     in_specs += [
-        pl.BlockSpec(
-            (1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        pl.BlockSpec((1, 1, bq, d), q_index, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, d), kv_index, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, d), kv_index, memory_space=pltpu.VMEM),
     ]
@@ -375,10 +525,7 @@ def flash_attention_fwd(
         jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
     ]
     out_specs = [
-        pl.BlockSpec(
-            (1, 1, bq, d), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        pl.BlockSpec((1, 1, bq, d), q_index, memory_space=pltpu.VMEM),
     ]
     if save_lse:
         out_shape.append(
@@ -386,8 +533,7 @@ def flash_attention_fwd(
         )
         out_specs.append(
             pl.BlockSpec(
-                (1, 1, bq, NUM_LANES), lambda b_, h_, iq, ik: (b_, h_, iq, 0),
-                memory_space=pltpu.VMEM,
+                (1, 1, bq, NUM_LANES), q_index, memory_space=pltpu.VMEM
             )
         )
     scratch_shapes = [
@@ -403,6 +549,7 @@ def flash_attention_fwd(
         sk_pad=sk_pad,
         block_q=bq,
         block_k=bk,
+        num_q_blocks=num_q_blocks,
         num_k_blocks=num_k_blocks,
         causal=causal,
         has_segments=has_segments,
@@ -411,6 +558,8 @@ def flash_attention_fwd(
         num_heads=h,
         save_lse=save_lse,
         q_chains=q_chains,
+        diag_chains=diag_chains,
+        tri_grid=tri_grid,
     )
 
     flops_mask = 0.5 if causal else 1.0
@@ -430,7 +579,11 @@ def flash_attention_fwd(
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                ("parallel", "parallel", "arbitrary")
+                if tri_grid
+                else ("parallel", "parallel", "parallel", "arbitrary")
+            ),
         ),
         cost_estimate=cost,
         interpret=interpret,
