@@ -369,16 +369,18 @@ def _fwd_kernel(
             l_inv = l_inv * (1.0 / (1.0 - p_drop))
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
         if save_lse:
-            m0 = m_ref[...]  # log2-scaled domain: true max = m0 * ln2
-            l0 = l_ref[...]
-            # Lane-replicated (block_q, NUM_LANES) store: keeps the write in
-            # the native layout (no lane->sublane relayout); callers slice
-            # [..., 0].
-            lse_ref[0, 0] = jnp.where(
+            m0 = m_ref[:, 0:1]  # log2-scaled domain: true max = m0 * ln2
+            l0 = l_ref[:, 0:1]
+            lse_col = jnp.where(
                 l0 == 0.0,
                 -jnp.inf,
                 m0 * jnp.float32(0.6931471805599453) + jnp.log(l0),
-            )
+            )  # (block_q, 1)
+            # Packed store: the LSE output is a (b, h, sq, 1) column — i.e.
+            # the reference's packed softmax_lse (b, h, sq) contract
+            # (fmha_api.cpp:193) with a trailing unit lane — instead of a
+            # 128x lane-replicated (b, h, sq, 128) tensor.
+            lse_ref[0, 0] = lse_col
 
 
 def flash_attention_fwd(
@@ -403,13 +405,12 @@ def flash_attention_fwd(
     """Launch the forward kernel on block-aligned inputs.
 
     Returns (out, lse): out (b, h, sq_pad, d_pad) in q.dtype, lse
-    (b, h, sq_pad, 128) fp32 lane-replicated (slice [..., 0] for the
-    per-row value). Rows >= sq are garbage and must be sliced by the
+    (b, h, sq_pad) fp32 packed — the reference softmax_lse layout
+    (fmha_api.cpp:193). Rows >= sq are garbage and must be sliced by the
     caller (ops/attention.py handles padding there).
 
-    ``save_lse=False`` (inference): skips materializing the LSE tensor
-    entirely — (b, h, sq_pad, 128) fp32 is substantial HBM write traffic —
-    and returns (out, None).
+    ``save_lse=False`` (inference): skips materializing the LSE tensor and
+    returns (out, None).
 
     GQA/MQA: k/v may have fewer heads than q (h % h_kv == 0); query head
     ``h`` reads kv head ``h // group`` directly from HBM — no broadcasted
@@ -529,12 +530,10 @@ def flash_attention_fwd(
     ]
     if save_lse:
         out_shape.append(
-            jax.ShapeDtypeStruct((b, h, sq_pad, NUM_LANES), jnp.float32)
+            jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32)
         )
         out_specs.append(
-            pl.BlockSpec(
-                (1, 1, bq, NUM_LANES), q_index, memory_space=pltpu.VMEM
-            )
+            pl.BlockSpec((1, 1, bq, 1), q_index, memory_space=pltpu.VMEM)
         )
     scratch_shapes = [
         pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
@@ -589,5 +588,6 @@ def flash_attention_fwd(
         interpret=interpret,
     )(*args)
     if save_lse:
-        return outs[0], outs[1]
+        # (b, h, sq_pad, 1) -> (b, h, sq_pad): free squeeze.
+        return outs[0], outs[1].reshape(b, h, sq_pad)
     return outs[0], None

@@ -199,9 +199,6 @@ def flash_attention_bwd_bshd(
         # Padded rows: dout rows are zero so their ds/di vanish; any finite
         # lse keeps exp2 well-defined.
         lse_p = jnp.pad(lse_p, [(0, 0), (0, 0), (0, sq_pad - sq)])
-    from flash_attn_tpu.kernels.common import NUM_LANES as _LANES
-
-    lse_rep = jnp.broadcast_to(lse_p[..., None], (*lse_p.shape, _LANES))
 
     seg_args = (None,) * 4
     if has_segments:
@@ -219,7 +216,7 @@ def flash_attention_bwd_bshd(
         )
 
     dq, dk, dv = flash_attention_bwd(
-        qp, kp, vp, op, dop, lse_rep,
+        qp, kp, vp, op, dop, lse_p,
         *seg_args,
         None,
         sq=sq,
@@ -390,6 +387,6 @@ def flash_attention(
         # LSE consumers (e.g. ring attention) differentiate through the
         # non-custom path is not supported; expose fwd-only here.
         out, lse = _core_fwd_impl(cfg, qp, kp, vp, seg, seed)
-        return unpack(out), lse[:, :, :sq, 0]
+        return unpack(out), lse[:, :, :sq]
 
     return unpack(_flash_core(cfg, qp, kp, vp, seg, seed))
