@@ -201,7 +201,28 @@ def _dkv_kernel(
             )
 
     if has_segments:
-        _compute(masked=True)
+        # Position-aware runtime block classification (see flash_fwd.py):
+        # skip blocks where every pair is causally masked (fully-future
+        # ring shards), run uniform fully-past same-segment blocks on the
+        # mask-free fast path, full mask otherwise.
+        qp_vec = qpos_ref[0]
+        kp_vec = kpos_ref[0]
+        qs_vec = qseg_ref[0]
+        ks_vec = kseg_ref[0]
+        live = jnp.bool_(True)
+        if causal:
+            live = jnp.max(qp_vec) >= jnp.min(kp_vec)
+        seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
+        seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
+        uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
+        if bounds_possible:
+            uniform = jnp.bool_(False)
+        if causal:
+            uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
+        pl.when(live & uniform)(lambda: _compute(masked=False))
+        pl.when(live & jnp.logical_not(uniform))(
+            lambda: _compute(masked=True)
+        )
     else:
         needs_mask = jnp.bool_(False)
         if bounds_possible:
@@ -331,7 +352,28 @@ def _dq_kernel(
             )
 
     if has_segments:
-        _compute(masked=True)
+        # Position-aware runtime block classification (see flash_fwd.py):
+        # skip blocks where every pair is causally masked (fully-future
+        # ring shards), run uniform fully-past same-segment blocks on the
+        # mask-free fast path, full mask otherwise.
+        qp_vec = qpos_ref[0]
+        kp_vec = kpos_ref[0]
+        qs_vec = qseg_ref[0]
+        ks_vec = kseg_ref[0]
+        live = jnp.bool_(True)
+        if causal:
+            live = jnp.max(qp_vec) >= jnp.min(kp_vec)
+        seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
+        seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
+        uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
+        if bounds_possible:
+            uniform = jnp.bool_(False)
+        if causal:
+            uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
+        pl.when(live & uniform)(lambda: _compute(masked=False))
+        pl.when(live & jnp.logical_not(uniform))(
+            lambda: _compute(masked=True)
+        )
     else:
         needs_mask = jnp.bool_(False)
         if bounds_possible:
@@ -490,7 +532,28 @@ def _fused_kernel(
             )
 
     if has_segments:
-        _compute(masked=True)
+        # Position-aware runtime block classification (see flash_fwd.py):
+        # skip blocks where every pair is causally masked (fully-future
+        # ring shards), run uniform fully-past same-segment blocks on the
+        # mask-free fast path, full mask otherwise.
+        qp_vec = qpos_ref[0]
+        kp_vec = kpos_ref[0]
+        qs_vec = qseg_ref[0]
+        ks_vec = kseg_ref[0]
+        live = jnp.bool_(True)
+        if causal:
+            live = jnp.max(qp_vec) >= jnp.min(kp_vec)
+        seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
+        seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
+        uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
+        if bounds_possible:
+            uniform = jnp.bool_(False)
+        if causal:
+            uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
+        pl.when(live & uniform)(lambda: _compute(masked=False))
+        pl.when(live & jnp.logical_not(uniform))(
+            lambda: _compute(masked=True)
+        )
     else:
         needs_mask = jnp.bool_(False)
         if bounds_possible:

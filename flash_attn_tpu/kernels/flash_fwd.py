@@ -315,8 +315,31 @@ def _fwd_kernel(
     )
 
     if has_segments:
-        # Segment boundaries can fall anywhere: every block is masked.
-        _compute(masked=True)
+        # Position-aware runtime block classification (the segment-path
+        # analog of the static causal skip): block min/max of the position
+        # and segment-id vectors decide, per grid step, whether the block
+        # is dead (every pair causally masked — e.g. fully-future shards in
+        # ring attention), interior (uniform same-segment, fully past —
+        # mask-free fast path), or boundary (full mask). Conservative: any
+        # uncertainty falls back to masked=True.
+        qp_vec = qpos_ref[0]
+        kp_vec = kpos_ref[0]
+        qs_vec = qseg_ref[0]
+        ks_vec = kseg_ref[0]
+        live = jnp.bool_(True)
+        if causal:
+            live = jnp.max(qp_vec) >= jnp.min(kp_vec)
+        seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
+        seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
+        uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
+        if bounds_possible:
+            uniform = jnp.bool_(False)
+        if causal:
+            uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
+        pl.when(live & uniform)(lambda: _compute(masked=False))
+        pl.when(live & jnp.logical_not(uniform))(
+            lambda: _compute(masked=True)
+        )
     elif tri_grid:
         # Triangular grid: every step is executed; the diagonal block
         # (ik == iq) is the only one needing a mask. With bounds padding

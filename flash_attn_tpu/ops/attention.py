@@ -138,6 +138,8 @@ def flash_attention_bwd_bshd(
     kv_segment_ids: jax.Array | None = None,
     q_positions: jax.Array | None = None,
     kv_positions: jax.Array | None = None,
+    dropout_p: float = 0.0,
+    dropout_seed: jax.Array | int | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
 ):
@@ -215,15 +217,19 @@ def flash_attention_bwd_bshd(
             pad_i32(kv_segment_ids, sk_pad, -1),
         )
 
+    if dropout_seed is None:
+        seed = None
+    else:
+        seed = jnp.asarray(dropout_seed).astype(jnp.uint32)
     dq, dk, dv = flash_attention_bwd(
         qp, kp, vp, op, dop, lse_p,
         *seg_args,
-        None,
+        seed,
         sq=sq,
         sk=sk,
         causal=causal,
         softmax_scale=float(softmax_scale),
-        dropout_p=0.0,
+        dropout_p=float(dropout_p),
         block_sizes=block_sizes,
         interpret=interpret,
     )

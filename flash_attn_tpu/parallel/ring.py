@@ -15,6 +15,23 @@ latency-hiding scheduler can overlap the ICI transfer with the Pallas
 kernel (communication rides ICI; compute dominates for large local
 shards).
 
+Causal balance — zigzag layout (``zigzag=True``): with contiguous shards a
+causal mask makes device 0 nearly idle and device n-1 do n shards of work.
+In zigzag layout each device owns TWO half-chunks of the global sequence —
+chunk i and chunk 2n-1-i — so every (device, shard) pair carries roughly
+the same ~half-live attention area and wall-clock per step is constant.
+The kernels never compute the dead area: per-block runtime classification
+on the position vectors skips blocks where max(q_pos) < min(kv_pos)
+entirely and runs uniformly-past blocks on the mask-free fast path
+(kernels/flash_fwd.py / flash_bwd.py). Use ``zigzag_permutation`` /
+``inverse_permutation`` to reorder the global sequence before sharding and
+to restore outputs.
+
+Dropout: supported in both directions. The mask for the (q-shard i,
+kv-shard j) pair is keyed on ``seed + i*C1 + j*C2`` plus the kernel's
+local coordinates, so it is reproducible in backward (same pair seeds)
+and decorrelated across pairs.
+
 Training path: ``ring_flash_attention`` is differentiable via custom_vjp.
 The backward rotates (k, v, dk, dv) around the same ring; each device runs
 the flash backward kernels between its local Q and the resident shard
@@ -33,9 +50,61 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
 from flash_attn_tpu.ops.attention import flash_attention
+
+_PAIR_C1 = 0x9E3779B1
+_PAIR_C2 = 0x85EBCA77
+
+
+def zigzag_permutation(seq_len: int, n_dev: int) -> np.ndarray:
+    """Index array reordering a sequence so that contiguous shard ``i`` of
+    the permuted sequence holds original chunks (i, 2n-1-i) (half-chunk
+    granularity c = seq_len / (2*n_dev)). Apply as ``x[:, perm]`` before
+    sharding along the sequence axis."""
+    assert seq_len % (2 * n_dev) == 0, (seq_len, n_dev)
+    c = seq_len // (2 * n_dev)
+    parts = []
+    for i in range(n_dev):
+        parts.append(np.arange(i * c, (i + 1) * c))
+        parts.append(np.arange((2 * n_dev - 1 - i) * c, (2 * n_dev - i) * c))
+    return np.concatenate(parts).astype(np.int32)
+
+
+def inverse_permutation(perm: np.ndarray) -> np.ndarray:
+    """Inverse index array: ``x_zig[:, inv][...] == x`` restores order."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+    return inv
+
+
+def _shard_positions(b, s_loc, idx, n_dev, zigzag):
+    """Global positions of a shard's rows. ``idx`` may be traced."""
+    if zigzag:
+        c = s_loc // 2
+        lo = jnp.arange(c, dtype=jnp.int32) + idx.astype(jnp.int32) * c
+        hi = jnp.arange(c, dtype=jnp.int32) + (
+            (2 * n_dev - 1) - idx.astype(jnp.int32)
+        ) * c
+        pos = jnp.concatenate([lo, hi])
+    else:
+        pos = jnp.arange(s_loc, dtype=jnp.int32) + (
+            idx.astype(jnp.int32) * s_loc
+        )
+    return jnp.broadcast_to(pos[None], (b, s_loc))
+
+
+@dataclasses.dataclass(frozen=True)
+class _RingCfg:
+    axis_name: str
+    causal: bool
+    softmax_scale: Optional[float]
+    dropout_p: float
+    zigzag: bool
+    block_sizes: Optional[BlockSizes]
+    interpret: Optional[bool]
 
 
 def _merge_partials(o_a, lse_a, o_b, lse_b):
@@ -57,13 +126,12 @@ def _merge_partials(o_a, lse_a, o_b, lse_b):
     return o, lse_new
 
 
-@dataclasses.dataclass(frozen=True)
-class _RingCfg:
-    axis_name: str
-    causal: bool
-    softmax_scale: Optional[float]
-    block_sizes: Optional[BlockSizes]
-    interpret: Optional[bool]
+def _pair_seed(seed, q_owner, kv_owner):
+    return (
+        seed
+        + q_owner.astype(jnp.uint32) * jnp.uint32(_PAIR_C1)
+        + kv_owner.astype(jnp.uint32) * jnp.uint32(_PAIR_C2)
+    )
 
 
 def ring_flash_attention(
@@ -74,43 +142,50 @@ def ring_flash_attention(
     axis_name: str,
     causal: bool = False,
     softmax_scale: Optional[float] = None,
+    dropout_p: float = 0.0,
+    dropout_seed: jax.Array | int | None = None,
+    zigzag: bool = False,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
     """Exact attention over the full (sharded) sequence. Call inside
     shard_map with q/k/v sharded along ``axis_name`` on the seq dim.
 
+    ``zigzag=True`` expects the global sequence pre-permuted with
+    ``zigzag_permutation`` (balanced causal work per device); outputs come
+    back in the same permuted layout.
+
     Returns (o, lse). Differentiable w.r.t. (q, k, v) — gradients do not
     flow through the returned lse (a diagnostic/merge artifact)."""
-    cfg = _RingCfg(axis_name, causal, softmax_scale, block_sizes, interpret)
-    return _ring_core(cfg, q, k, v)
+    if dropout_p > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_p > 0 requires dropout_seed")
+    seed = (
+        jnp.zeros((), jnp.uint32)
+        if dropout_seed is None
+        else jnp.asarray(dropout_seed).astype(jnp.uint32)
+    )
+    cfg = _RingCfg(
+        axis_name, causal, softmax_scale, float(dropout_p), zigzag,
+        block_sizes, interpret,
+    )
+    return _ring_core_p(cfg, q, k, v, seed)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ring_core_p(cfg, q, k, v):
-    return _ring_fwd(cfg, q, k, v)
+def _ring_core_p(cfg, q, k, v, seed):
+    return _ring_fwd(cfg, q, k, v, seed)
 
 
-def _ring_core(cfg, q, k, v):
-    return _ring_core_p(cfg, q, k, v)
-
-
-def _ring_fwd(cfg: _RingCfg, q, k, v):
+def _ring_fwd(cfg: _RingCfg, q, k, v, seed):
     axis_name = cfg.axis_name
-    causal = cfg.causal
-    softmax_scale = cfg.softmax_scale
-    block_sizes = cfg.block_sizes
-    interpret = cfg.interpret
     n_dev = jax.lax.axis_size(axis_name)
     my_idx = jax.lax.axis_index(axis_name)
     b, s_loc, h, d = q.shape
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    if cfg.zigzag and s_loc % 2 != 0:
+        raise ValueError("zigzag needs an even local sequence length")
 
-    # Global positions of the local Q rows (for causal masking).
-    q_pos = (
-        jnp.broadcast_to(jnp.arange(s_loc, dtype=jnp.int32)[None], (b, s_loc))
-        + my_idx.astype(jnp.int32) * s_loc
-    )
+    q_pos = _shard_positions(b, s_loc, my_idx, n_dev, cfg.zigzag)
     zeros_seg = jnp.zeros((b, s_loc), jnp.int32)
 
     o_acc = jnp.zeros((b, s_loc, h, d), jnp.float32)
@@ -124,25 +199,24 @@ def _ring_fwd(cfg: _RingCfg, q, k, v):
             # step's compute, so the ICI transfer overlaps the kernel.
             kv_next = jax.lax.ppermute(kv, axis_name, perm)
         k_cur, v_cur = kv
-        kv_pos = (
-            jnp.broadcast_to(
-                jnp.arange(s_loc, dtype=jnp.int32)[None], (b, s_loc)
-            )
-            + src * s_loc
-        )
+        kv_pos = _shard_positions(b, s_loc, src, n_dev, cfg.zigzag)
         o_i, lse_i = flash_attention(
             q,
             k_cur,
             v_cur,
-            causal=causal,
-            softmax_scale=softmax_scale,
+            causal=cfg.causal,
+            softmax_scale=cfg.softmax_scale,
             q_segment_ids=zeros_seg,
             kv_segment_ids=zeros_seg,
             q_positions=q_pos,
             kv_positions=kv_pos,
-            block_sizes=block_sizes,
+            dropout_p=cfg.dropout_p,
+            dropout_seed=(
+                _pair_seed(seed, my_idx, src) if cfg.dropout_p > 0.0 else None
+            ),
+            block_sizes=cfg.block_sizes,
             return_lse=True,
-            interpret=interpret,
+            interpret=cfg.interpret,
         )
         o_acc, lse_acc = _merge_partials(o_acc, lse_acc, o_i, lse_i)
         if step < n_dev - 1:
@@ -152,9 +226,9 @@ def _ring_fwd(cfg: _RingCfg, q, k, v):
     return o_acc.astype(q.dtype), lse_acc
 
 
-def _ring_fwd_vjp(cfg: _RingCfg, q, k, v):
-    out, lse = _ring_fwd(cfg, q, k, v)
-    return (out, lse), (q, k, v, out, lse)
+def _ring_fwd_vjp(cfg: _RingCfg, q, k, v, seed):
+    out, lse = _ring_fwd(cfg, q, k, v, seed)
+    return (out, lse), (q, k, v, seed, out, lse)
 
 
 def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
@@ -166,7 +240,7 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
     plus one final hop deliver them to the shard's home device."""
     from flash_attn_tpu.ops.attention import flash_attention_bwd_bshd
 
-    q, k, v, out, lse = residuals
+    q, k, v, seed, out, lse = residuals
     dout, _dlse = cot  # gradients do not flow through lse
     dout = dout.astype(q.dtype)
 
@@ -176,10 +250,7 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
     b, s_loc, h, d = q.shape
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-    q_pos = (
-        jnp.broadcast_to(jnp.arange(s_loc, dtype=jnp.int32)[None], (b, s_loc))
-        + my_idx.astype(jnp.int32) * s_loc
-    )
+    q_pos = _shard_positions(b, s_loc, my_idx, n_dev, cfg.zigzag)
     zeros_seg = jnp.zeros((b, s_loc), jnp.int32)
 
     dq_acc = jnp.zeros(q.shape, jnp.float32)
@@ -191,12 +262,7 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
             # Prefetch the next shard; independent of this step's kernels.
             kv_next = jax.lax.ppermute(kv, axis_name, perm)
         k_cur, v_cur = kv
-        kv_pos = (
-            jnp.broadcast_to(
-                jnp.arange(s_loc, dtype=jnp.int32)[None], (b, s_loc)
-            )
-            + src * s_loc
-        )
+        kv_pos = _shard_positions(b, s_loc, src, n_dev, cfg.zigzag)
         dq_i, dk_i, dv_i = flash_attention_bwd_bshd(
             q, k_cur, v_cur, out, dout, lse,
             causal=cfg.causal,
@@ -205,6 +271,10 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
             kv_segment_ids=zeros_seg,
             q_positions=q_pos,
             kv_positions=kv_pos,
+            dropout_p=cfg.dropout_p,
+            dropout_seed=(
+                _pair_seed(seed, my_idx, src) if cfg.dropout_p > 0.0 else None
+            ),
             block_sizes=cfg.block_sizes,
             interpret=cfg.interpret,
         )
@@ -224,6 +294,7 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
         dq_acc.astype(q.dtype),
         dkv[0].astype(k.dtype),
         dkv[1].astype(v.dtype),
+        None,
     )
 
 

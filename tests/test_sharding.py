@@ -132,3 +132,146 @@ def test_ring_attention_grads_match_dense(mesh, causal):
     np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=3e-5)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=3e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=3e-5)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_zigzag_matches_dense(mesh, causal):
+    """Zigzag layout: permuted inputs through the balanced ring must equal
+    the dense reference after inverse permutation."""
+    from flash_attn_tpu.parallel.ring import (
+        inverse_permutation, zigzag_permutation,
+    )
+
+    rng = np.random.default_rng(4)
+    b, s, h, d = 2, 512, 2, 64
+    n_dev = 4
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    ref = flash_attention(q, k, v, causal=causal)
+
+    perm = zigzag_permutation(s, n_dev)
+    inv = inverse_permutation(perm)
+    qz, kz, vz = (x[:, perm] for x in (q, k, v))
+
+    def ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, axis_name="model", causal=causal, zigzag=True
+        )
+        return out
+
+    f = shard_map(
+        ring,
+        mesh=mesh,
+        in_specs=(P(None, "model", None, None),) * 3,
+        out_specs=P(None, "model", None, None),
+        check_vma=False,
+    )
+    out = jax.jit(f)(qz, kz, vz)[:, inv]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_ring_zigzag_grads_match_dense(mesh):
+    from flash_attn_tpu.parallel.ring import (
+        inverse_permutation, zigzag_permutation,
+    )
+
+    rng = np.random.default_rng(5)
+    b, s, h, d = 1, 512, 2, 64
+    n_dev = 4
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) * g)
+
+    rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+    perm = zigzag_permutation(s, n_dev)
+    inv = inverse_permutation(perm)
+
+    def ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, axis_name="model", causal=True, zigzag=True
+        )
+        return out
+
+    f = shard_map(
+        ring,
+        mesh=mesh,
+        in_specs=(P(None, "model", None, None),) * 3,
+        out_specs=P(None, "model", None, None),
+        check_vma=False,
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(f(q[:, perm], k[:, perm], v[:, perm])[:, inv] * g)
+
+    dq, dk, dv = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=3e-5)
+
+
+def test_ring_dropout_matches_manual_merge(mesh):
+    """Ring dropout: the sharded result must equal a single-device
+    emulation that runs each (q-shard, kv-shard) pair with the same pair
+    seed and merges with the lse rule — validates the seed plumbing and
+    fwd mask reproducibility end to end."""
+    from flash_attn_tpu.parallel.ring import _merge_partials, _pair_seed
+
+    rng = np.random.default_rng(6)
+    b, s, h, d = 1, 512, 2, 64
+    n_dev = 4
+    s_loc = s // n_dev
+    p_drop, seed0 = 0.2, 1234
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+
+    def ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, axis_name="model", causal=True,
+            dropout_p=p_drop, dropout_seed=seed0,
+        )
+        return out
+
+    f = shard_map(
+        ring,
+        mesh=mesh,
+        in_specs=(P(None, "model", None, None),) * 3,
+        out_specs=P(None, "model", None, None),
+        check_vma=False,
+    )
+    out = np.asarray(jax.jit(f)(q, k, v))
+    out2 = np.asarray(jax.jit(f)(q, k, v))
+    np.testing.assert_array_equal(out, out2)  # deterministic
+
+    # Manual emulation on one device.
+    seed = jnp.uint32(seed0)
+    for i in range(n_dev):
+        qi = q[:, i * s_loc:(i + 1) * s_loc]
+        qpos = jnp.broadcast_to(
+            jnp.arange(s_loc, dtype=jnp.int32)[None] + i * s_loc, (b, s_loc))
+        o_acc = jnp.zeros((b, s_loc, h, d), jnp.float32)
+        lse_acc = jnp.full((b, h, s_loc), -jnp.inf, jnp.float32)
+        zseg = jnp.zeros((b, s_loc), jnp.int32)
+        for j in range(n_dev):
+            kj = k[:, j * s_loc:(j + 1) * s_loc]
+            vj = v[:, j * s_loc:(j + 1) * s_loc]
+            kvpos = jnp.broadcast_to(
+                jnp.arange(s_loc, dtype=jnp.int32)[None] + j * s_loc,
+                (b, s_loc))
+            o_j, lse_j = flash_attention(
+                qi, kj, vj, causal=True,
+                q_segment_ids=zseg, kv_segment_ids=zseg,
+                q_positions=qpos, kv_positions=kvpos,
+                dropout_p=p_drop,
+                dropout_seed=_pair_seed(
+                    seed, jnp.uint32(i), jnp.uint32(j)),
+                return_lse=True,
+            )
+            o_acc, lse_acc = _merge_partials(o_acc, lse_acc, o_j, lse_j)
+        np.testing.assert_allclose(
+            out[:, i * s_loc:(i + 1) * s_loc],
+            np.asarray(o_acc.astype(jnp.float32)),
+            atol=2e-5,
+        )
