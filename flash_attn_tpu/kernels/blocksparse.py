@@ -9,16 +9,25 @@ composed on top.
 TPU-native redesign (SURVEY.md section 7): instead of the reference's
 sorted-column index format with first/last flag bits
 (convert_blockmask, flash_blocksparse_attn_interface.py:8-40), the layout
-compiles to per-q-block lists of active kv-block indices consumed through
+compiles to per-q-block lists of active kv-TILE indices consumed through
 ``PrefetchScalarGridSpec`` — the kernel's BlockSpec index_map reads the
-next active block id from SMEM, so *skipped blocks are never DMA'd from
+next active tile id from SMEM, so *skipped tiles are never DMA'd from
 HBM at all* (true bandwidth sparsity, not just compute predication). Tail
-grid slots repeat the previous block index (Pallas elides the re-fetch)
+grid slots repeat the previous tile index (Pallas elides the re-fetch)
 and are predicated off by the per-row active counts.
 
-Kernel tiling: block_k = 256 (exactly one mask column-cell per kv tile);
-the 16-row mask granularity inside a q tile is applied via a per-row
-"rowmask" bitmap refined elementwise.
+Performance structure (round 2; closes the round-1 gaps):
+  - kv tiles are ``block_k`` wide (default 1024 = 4 mask column-cells),
+    so per-grid-step work amortizes like the dense kernel instead of
+    being pinned at one 256-col cell per step;
+  - the layout precomputes a per-tile FULL flag (every 16x256 cell
+    active, fully in causal range and bounds): full tiles run the dense
+    kernel's mask-free sub-q chain-interleaved fast path — at 100%
+    density the kernel degenerates to the dense kernel's schedule;
+  - partial tiles refine the mask at cell granularity from the per-row
+    bitmap;
+  - LSE is produced packed (b, h, sq) (a (bq, 1) column store), matching
+    the dense kernel and the reference softmax_lse contract.
 """
 
 from __future__ import annotations
@@ -37,7 +46,12 @@ from flash_attn_tpu.kernels.common import DEFAULT_MASK_VALUE, NUM_LANES
 
 ROW_CELL = 16  # mask granularity along q (reference blockmask rows)
 COL_CELL = 256  # mask granularity along k (reference blockmask cols)
-BLOCK_K = COL_CELL  # kv tile == one mask column cell
+# Back-compat alias: the default kv tile width (round 1 pinned tiles at
+# one COL_CELL; tiles are now independently sized via ``block_k``).
+BLOCK_K = COL_CELL
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+LOG2E = 1.4426950408889634
 
 
 def _round_up(x, m):
@@ -51,11 +65,14 @@ class BlockSparseLayout:
     sq_pad: int
     sk_pad: int
     block_q: int
-    kv_indices: jax.Array  # (nq, max_kv) int32, tail-padded by repetition
+    block_k: int
+    kv_indices: jax.Array  # (nq, max_kv) int32 tile ids, tail-repeated
     kv_counts: jax.Array  # (nq,) int32
-    q_indices: jax.Array  # (nk, max_q) int32
-    q_counts: jax.Array  # (nk,) int32
-    rowmask: jax.Array  # (sq_pad, ncol_pad) int32: 1 = cell active
+    kv_full: jax.Array  # (nq, max_kv) int32: 1 = tile needs no mask
+    q_indices: jax.Array  # (nk_tiles, max_q) int32 q-block ids
+    q_counts: jax.Array  # (nk_tiles,) int32
+    q_full: jax.Array  # (nk_tiles, max_q) int32
+    rowmask: jax.Array  # (sq_pad, ncell_pad) int32: 1 = 16x256 cell active
     causal: bool
 
     @property
@@ -72,7 +89,8 @@ def build_layout(
     *,
     sq: int,
     sk: int,
-    block_q: int = 128,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
     causal: bool = False,
 ) -> BlockSparseLayout:
     """Compile a (ceil(sq/16), ceil(sk/256)) 0/1 blockmask into the kernel
@@ -80,10 +98,13 @@ def build_layout(
     reference's registered buffer (flash_blocksparse_attention.py:32-36).
     """
     blockmask = np.asarray(blockmask).astype(bool)
+    assert block_k % COL_CELL == 0 and block_q % 128 == 0
     sq_pad = _round_up(sq, block_q)
-    sk_pad = _round_up(sk, BLOCK_K)
+    sk_pad = _round_up(sk, block_k)
     nq = sq_pad // block_q
-    nk = sk_pad // BLOCK_K
+    nk_t = sk_pad // block_k
+    cells = block_k // COL_CELL
+    ncells = sk_pad // COL_CELL
     n_row_cells = sq_pad // ROW_CELL
     if blockmask.shape[0] < (sq + ROW_CELL - 1) // ROW_CELL or blockmask.shape[1] < (
         sk + COL_CELL - 1
@@ -91,58 +112,83 @@ def build_layout(
         raise ValueError(
             f"blockmask {blockmask.shape} too small for sq={sq}, sk={sk}"
         )
-    # pad/trim to padded grid
-    bm = np.zeros((n_row_cells, nk), bool)
+    # pad/trim to padded grid (padded rows/cols inactive)
+    bm = np.zeros((n_row_cells, ncells), bool)
     r = min(blockmask.shape[0], n_row_cells)
-    c = min(blockmask.shape[1], nk)
+    c = min(blockmask.shape[1], ncells)
     bm[:r, :c] = blockmask[:r, :c]
-
-    # block-level activity: q block active for kv block if ANY of its row
-    # cells is active (finer rows are refined in-kernel via rowmask)
-    rows_per_block = block_q // ROW_CELL
-    blk = bm.reshape(nq, rows_per_block, nk).any(axis=1)  # (nq, nk)
     if causal:
-        # drop kv blocks entirely above the causal diagonal
-        qi = np.arange(nq)[:, None]
-        ki = np.arange(nk)[None, :]
-        reachable = (qi + 1) * block_q - 1 >= ki * BLOCK_K
-        blk = blk & reachable
+        # causal-unreachable cells are dead whatever the mask says
+        rc = np.arange(n_row_cells)[:, None]
+        cc = np.arange(ncells)[None, :]
+        reachable_cell = (rc + 1) * ROW_CELL - 1 >= cc * COL_CELL
+        bm_eff = bm & reachable_cell
+    else:
+        bm_eff = bm
 
-    def index_lists(mat):  # mat (n, m) -> indices (n, max) tail-repeat, counts
+    rows_per_block = block_q // ROW_CELL
+    # tile-level activity / fullness over (q block, kv tile)
+    cellgrid = bm_eff.reshape(nq, rows_per_block, nk_t, cells)
+    blk = cellgrid.any(axis=(1, 3))  # (nq, nk_t)
+    full = cellgrid.all(axis=(1, 3))
+    if causal:
+        qi = np.arange(nq)[:, None]
+        ki = np.arange(nk_t)[None, :]
+        reachable = (qi + 1) * block_q - 1 >= ki * block_k
+        blk &= reachable
+        # full additionally requires the whole tile strictly below the
+        # diagonal (no causal masking inside), and fullness of the RAW
+        # mask (bm, not bm_eff, which zeroed unreachable cells).
+        fully_below = qi * block_q >= (ki + 1) * block_k - 1
+        full = (
+            bm.reshape(nq, rows_per_block, nk_t, cells).all(axis=(1, 3))
+            & fully_below
+        )
+    # bounds: a tile touching cols >= sk can't be full
+    in_bounds = (np.arange(nk_t) + 1) * block_k <= sk
+    full &= in_bounds[None, :]
+    full &= blk
+
+    def index_lists(mat, fullmat):
         counts = mat.sum(axis=1).astype(np.int32)
         max_n = max(int(counts.max()), 1)
         idx = np.zeros((mat.shape[0], max_n), np.int32)
+        flg = np.zeros((mat.shape[0], max_n), np.int32)
         for i in range(mat.shape[0]):
             active = np.nonzero(mat[i])[0]
             if len(active):
                 idx[i, : len(active)] = active
                 idx[i, len(active):] = active[-1]  # repeat: no extra DMA
-            # count 0: leave zeros (fetched but predicated off)
-        return jnp.asarray(idx), jnp.asarray(counts)
+                flg[i, : len(active)] = fullmat[i, active]
+        return jnp.asarray(idx), jnp.asarray(counts), jnp.asarray(flg)
 
-    kv_indices, kv_counts = index_lists(blk)
-    q_indices, q_counts = index_lists(blk.T)
+    kv_indices, kv_counts, kv_full = index_lists(blk, full)
+    q_indices, q_counts, q_full = index_lists(blk.T, full.T)
 
-    # per-row x per-col-cell activity map, lanes padded to 128
-    ncol_pad = _round_up(max(nk, 1), NUM_LANES)
-    rowmask = np.zeros((sq_pad, ncol_pad), np.int32)
-    rowmask[: n_row_cells * ROW_CELL, :nk] = np.repeat(
+    # per-row x per-col-cell activity map, lanes padded to a 128 multiple
+    ncell_pad = _round_up(max(ncells, 1), NUM_LANES)
+    rowmask = np.zeros((sq_pad, ncell_pad), np.int32)
+    rowmask[: n_row_cells * ROW_CELL, :ncells] = np.repeat(
         bm.astype(np.int32), ROW_CELL, axis=0
     )
     return BlockSparseLayout(
         sq_pad=sq_pad,
         sk_pad=sk_pad,
         block_q=block_q,
+        block_k=block_k,
         kv_indices=kv_indices,
         kv_counts=kv_counts,
+        kv_full=kv_full,
         q_indices=q_indices,
         q_counts=q_counts,
+        q_full=q_full,
         rowmask=jnp.asarray(rowmask),
         causal=causal,
     )
 
 
-def convert_blockmask(blockmask, causal, *, sq=None, sk=None, block_q=128):
+def convert_blockmask(blockmask, causal, *, sq=None, sk=None,
+                      block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K):
     """Reference-named entry point (flash_blocksparse_attn_interface.py:8):
     compiles the blockmask to the TPU layout (not the CUDA sorted-column
     format — see module docstring)."""
@@ -151,7 +197,8 @@ def convert_blockmask(blockmask, causal, *, sq=None, sk=None, block_q=128):
         sq = bm.shape[0] * ROW_CELL
     if sk is None:
         sk = bm.shape[1] * COL_CELL
-    return build_layout(bm, sq=sq, sk=sk, block_q=block_q, causal=causal)
+    return build_layout(bm, sq=sq, sk=sk, block_q=block_q, block_k=block_k,
+                        causal=causal)
 
 
 # ---------------------------------------------------------------------------
@@ -159,24 +206,45 @@ def convert_blockmask(blockmask, causal, *, sq=None, sk=None, block_q=128):
 # ---------------------------------------------------------------------------
 
 
-def _mask_for_tile(
-    rowmask_tile, cell, rows, cols, *, sk, causal, seg_refs
+def _tile_mask(
+    rowmask_tile,  # (rows, ncell_pad) activity bitmap for this q block
+    rows_sl,  # slice of the chain's rows within the q block
+    cell0,  # first 256-col cell id of the kv tile (traced)
+    row0,  # global first row of the chain (traced)
+    col0,  # global first col of the kv tile (traced)
+    shape,  # (bqs, block_k)
+    *,
+    sk,
+    bounds_possible,
+    causal,
+    seg_refs,
+    kseg_slice=None,
 ):
-    """(block_q, BLOCK_K) bool mask for one active tile."""
-    bq, ncol = rowmask_tile.shape
-    # Select lane `cell` without dynamic_slice (not lowerable in Mosaic):
-    # masked lane reduction on the (bq, ncol<=128) bitmap.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, ncol), 1)
-    row_act = (
-        jnp.sum(jnp.where(lane == cell, rowmask_tile, 0), axis=1, keepdims=True)
-        > 0
-    )
-    mask = row_act & (cols < sk)
+    """(bqs, block_k) bool mask for one PARTIAL tile: per-cell row activity
+    from the bitmap, refined with bounds / causal / segment masks."""
+    bqs, block_k = shape
+    cells = block_k // COL_CELL
+    rm = rowmask_tile[rows_sl]  # (bqs, ncell_pad)
+    lane = jax.lax.broadcasted_iota(jnp.int32, rm.shape, 1)
+    parts = []
+    for ci in range(cells):
+        act = (
+            jnp.sum(
+                jnp.where(lane == cell0 + ci, rm, 0), axis=1, keepdims=True
+            )
+            > 0
+        )  # (bqs, 1)
+        parts.append(jnp.broadcast_to(act, (bqs, COL_CELL)))
+    mask = jnp.concatenate(parts, axis=1)  # (bqs, block_k)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+    if bounds_possible:
+        mask = mask & (cols < sk)
     if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
         mask = mask & (rows >= cols)
     if seg_refs is not None:
         qseg_ref, kseg_ref = seg_refs
-        qs = qseg_ref[0][:, None]
+        qs = qseg_ref[0][rows_sl][:, None]
         ks = kseg_ref[0][None, :]
         mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
     return mask
@@ -185,15 +253,19 @@ def _mask_for_tile(
 def _bs_fwd_kernel(
     kv_idx_ref,  # scalar prefetch (nq, max_kv)
     kv_cnt_ref,  # scalar prefetch (nq,)
+    kv_full_ref,  # scalar prefetch (nq, max_kv)
     *refs,
     sk: int,
+    sk_pad: int,
     block_q: int,
+    block_k: int,
     max_kv: int,
     causal: bool,
     has_segments: bool,
     scale: float,
     p_drop: float,
     num_heads: int,
+    chains: int,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -210,7 +282,11 @@ def _bs_fwd_kernel(
     iq = pl.program_id(2)
     j = pl.program_id(3)
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
-    cell = kv_idx_ref[iq, j]
+    tile = kv_idx_ref[iq, j]
+    cell0 = tile * (block_k // COL_CELL)
+    col0 = tile * block_k
+    bounds_possible = sk != sk_pad
+    bqs = block_q // chains
 
     @pl.when(j == 0)
     def _init():
@@ -218,50 +294,69 @@ def _bs_fwd_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j < kv_cnt_ref[iq])
-    def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        c = jnp.float32(scale * 1.4426950408889634)
-        rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 0)
-            + iq * block_q
-        )
-        cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 1)
-            + cell * BLOCK_K
-        )
-        mask = _mask_for_tile(
-            rowmask_ref[...], cell, rows, cols, sk=sk, causal=causal,
-            seg_refs=seg_refs,
-        )
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-        m_prev = m_ref[...]
-        l_prev = l_ref[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True) * c
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s * c - m_next[:, 0:1])
-        p = jnp.where(mask, p, 0.0)
-        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[...] = m_next
-        if p_drop > 0.0:
-            keep = prng.keep_mask(
-                seed_ref[0, 0],
-                bh.astype(jnp.uint32),
-                rows.astype(jnp.uint32),
-                cols.astype(jnp.uint32),
-                p_drop,
-            )
-            p = jnp.where(keep, p, 0.0)
+    def _compute(masked: bool):
+        k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]
-        acc_ref[...] = acc_ref[...] * alpha[:, 0:1] + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        c = jnp.float32(scale * LOG2E)
+        # Phase 1: all chains' QK^T first (independent MXU streams; the
+        # dense kernel's interleave — flash_fwd.py).
+        ss = []
+        for jc in range(chains):
+            qj = q_ref[0, 0, jc * bqs : (jc + 1) * bqs, :]
+            ss.append(jax.lax.dot_general(
+                qj, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        for jc in range(chains):
+            rows_sl = slice(jc * bqs, (jc + 1) * bqs)
+            row0 = iq * block_q + jc * bqs
+            s = ss[jc]
+            mask = None
+            if masked:
+                mask = _tile_mask(
+                    rowmask_ref[...], rows_sl, cell0, row0, col0,
+                    (bqs, block_k), sk=sk, bounds_possible=bounds_possible,
+                    causal=causal, seg_refs=seg_refs,
+                )
+                s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+            m_prev = m_ref[rows_sl]
+            l_prev = l_ref[rows_sl]
+            m_curr = jnp.max(s, axis=1, keepdims=True) * c
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            p = jnp.exp2(s * c - m_next[:, 0:1])
+            if masked:
+                # Sparse rows may be dead in this tile but live in a later
+                # one: exp2(DMV*c - DMV*c) = 1 would leak — always select.
+                p = jnp.where(mask, p, 0.0)
+            l_ref[rows_sl] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[rows_sl] = m_next
+            if p_drop > 0.0:
+                rows_v = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bqs, 1), 0) + row0
+                )
+                cols_v = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                    + col0
+                )
+                keep = prng.keep_mask(
+                    seed_ref[0, 0],
+                    bh.astype(jnp.uint32),
+                    rows_v.astype(jnp.uint32),
+                    cols_v.astype(jnp.uint32),
+                    p_drop,
+                )
+                p = jnp.where(keep, p, 0.0)
+            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha[:, 0:1] + (
+                jax.lax.dot_general(
+                    p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+
+    active = j < kv_cnt_ref[iq]
+    full = kv_full_ref[iq, j] == 1
+    pl.when(active & full)(lambda: _compute(masked=False))
+    pl.when(active & jnp.logical_not(full))(lambda: _compute(masked=True))
 
     @pl.when(j == max_kv - 1)
     def _finalize():
@@ -270,8 +365,8 @@ def _bs_fwd_kernel(
         if p_drop > 0.0:
             l_inv = l_inv * (1.0 / (1.0 - p_drop))
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
-        m0 = m_ref[...]
-        l0 = l_ref[...]
+        m0 = m_ref[:, 0:1]
+        l0 = l_ref[:, 0:1]
         lse_ref[0, 0] = jnp.where(
             l0 == 0.0,
             -jnp.inf,
@@ -293,13 +388,18 @@ def blocksparse_attention_fwd(
     dropout_p: float = 0.0,
     interpret: bool = False,
 ):
+    """Returns (out, lse) with lse PACKED as (b, h, sq_pad) fp32."""
     b, h, sq_pad, d = q.shape
     bq = layout.block_q
+    bk = layout.block_k
     assert sq_pad == layout.sq_pad and k.shape[2] == layout.sk_pad
     nq = sq_pad // bq
     max_kv = layout.max_kv
     has_segments = q_segment_ids is not None
     p_drop = float(dropout_p)
+    chains = max(1, bq // 256)
+    while bq % (chains * 128) != 0:
+        chains -= 1
 
     in_specs = []
     args = []
@@ -311,22 +411,22 @@ def blocksparse_attention_fwd(
     in_specs += [
         pl.BlockSpec(
             (1, 1, bq, d),
-            lambda b_, h_, iq, j, idx, cnt: (b_, h_, iq, 0),
+            lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 1, BLOCK_K, d),
-            lambda b_, h_, iq, j, idx, cnt: (b_, h_, idx[iq, j], 0),
+            (1, 1, bk, d),
+            lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, idx[iq, j], 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 1, BLOCK_K, d),
-            lambda b_, h_, iq, j, idx, cnt: (b_, h_, idx[iq, j], 0),
+            (1, 1, bk, d),
+            lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, idx[iq, j], 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (bq, layout.rowmask.shape[1]),
-            lambda b_, h_, iq, j, idx, cnt: (iq, 0),
+            lambda b_, h_, iq, j, idx, cnt, flg: (iq, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -334,12 +434,12 @@ def blocksparse_attention_fwd(
     if has_segments:
         in_specs += [
             pl.BlockSpec(
-                (1, bq), lambda b_, h_, iq, j, idx, cnt: (b_, iq),
+                (1, bq), lambda b_, h_, iq, j, idx, cnt, flg: (b_, iq),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, BLOCK_K),
-                lambda b_, h_, iq, j, idx, cnt: (b_, idx[iq, j]),
+                (1, bk),
+                lambda b_, h_, iq, j, idx, cnt, flg: (b_, idx[iq, j]),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -349,18 +449,18 @@ def blocksparse_attention_fwd(
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, h, nq, max_kv),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, bq, d),
-                lambda b_, h_, iq, j, idx, cnt: (b_, h_, iq, 0),
+                lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, bq, NUM_LANES),
-                lambda b_, h_, iq, j, idx, cnt: (b_, h_, iq, 0),
+                (1, 1, bq, 1),
+                lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -373,41 +473,48 @@ def blocksparse_attention_fwd(
     kernel = functools.partial(
         _bs_fwd_kernel,
         sk=sk,
+        sk_pad=layout.sk_pad,
         block_q=bq,
+        block_k=bk,
         max_kv=max_kv,
         causal=layout.causal,
         has_segments=has_segments,
         scale=float(softmax_scale),
         p_drop=p_drop,
         num_heads=h,
+        chains=chains,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq_pad, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layout.kv_indices, layout.kv_counts, *args)
-    return out, lse
+    )(layout.kv_indices, layout.kv_counts, layout.kv_full, *args)
+    return out, lse.reshape(b, h, sq_pad)
 
 
 def _bs_dkv_kernel(
-    q_idx_ref,  # (nk, max_q)
-    q_cnt_ref,  # (nk,)
+    q_idx_ref,  # (nk_t, max_q)
+    q_cnt_ref,  # (nk_t,)
+    q_full_ref,  # (nk_t, max_q)
     *refs,
     sk: int,
+    sk_pad: int,
     block_q: int,
+    block_k: int,
     max_q: int,
     causal: bool,
     has_segments: bool,
     scale: float,
     p_drop: float,
     num_heads: int,
+    chains: int,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -421,63 +528,82 @@ def _bs_dkv_kernel(
         idx += 2
     dk_ref, dv_ref, dk_acc, dv_acc = refs[idx : idx + 4]
 
-    ik = pl.program_id(2)  # kv cell index (== block index, BLOCK_K = COL_CELL)
+    ik = pl.program_id(2)  # kv TILE index
     j = pl.program_id(3)
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
     iq = q_idx_ref[ik, j]
+    cell0 = ik * (block_k // COL_CELL)
+    col0 = ik * block_k
+    bounds_possible = sk != sk_pad
+    bqs = block_q // chains
 
     @pl.when(j == 0)
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when(j < q_cnt_ref[ik])
-    def _compute():
-        q = q_ref[0, 0]
+    def _compute(masked: bool):
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse2 = lse_ref[0, 0][:, 0:1] * jnp.float32(1.4426950408889634)
-        di_col = di_ref[0, 0][:, 0:1]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        c = jnp.float32(scale * 1.4426950408889634)
-        rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 0)
-            + iq * block_q
-        )
-        cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 1)
-            + ik * BLOCK_K
-        )
-        mask = _mask_for_tile(
-            rowmask_ref[...], ik, rows, cols, sk=sk, causal=causal,
-            seg_refs=seg_refs,
-        )
-        p = jnp.where(mask, jnp.exp2(s * c - lse2), 0.0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if p_drop > 0.0:
-            keep = prng.keep_mask(
-                seed_ref[0, 0], bh.astype(jnp.uint32),
-                rows.astype(jnp.uint32), cols.astype(jnp.uint32), p_drop,
+        c = jnp.float32(scale * LOG2E)
+        lse_col = lse_ref[0, 0]  # (block_q, 1) packed
+        di_full = di_ref[0, 0]
+        # Chains processed sequentially (dot -> math per chain) to keep one
+        # chain's score/dp tiles live at a time (VMEM; bwd has 5 dots per
+        # chain to overlap with anyway).
+        for jc in range(chains):
+            rows_sl = slice(jc * bqs, (jc + 1) * bqs)
+            row0 = iq * block_q + jc * bqs
+            qj = q_ref[0, 0, rows_sl, :]
+            doj = do_ref[0, 0, rows_sl, :]
+            s = jax.lax.dot_general(
+                qj, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                doj, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            lse2 = lse_col[rows_sl] * jnp.float32(LOG2E)
+            di_col = di_full[rows_sl]
+            p = jnp.exp2(s * c - lse2)
+            if masked:
+                mask = _tile_mask(
+                    rowmask_ref[...], rows_sl, cell0, row0, col0,
+                    (bqs, block_k), sk=sk, bounds_possible=bounds_possible,
+                    causal=causal, seg_refs=seg_refs,
+                )
+                p = jnp.where(mask, p, 0.0)
+            if p_drop > 0.0:
+                rows_v = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bqs, 1), 0) + row0
+                )
+                cols_v = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                    + col0
+                )
+                keep = prng.keep_mask(
+                    seed_ref[0, 0], bh.astype(jnp.uint32),
+                    rows_v.astype(jnp.uint32), cols_v.astype(jnp.uint32),
+                    p_drop,
+                )
+                rp = jnp.float32(1.0 / (1.0 - p_drop))
+                p_dropped = jnp.where(keep, p, 0.0) * rp
+                dp = jnp.where(keep, dp, 0.0) * rp
+            else:
+                p_dropped = p
+            dv_acc[...] += jax.lax.dot_general(
+                p_dropped.astype(doj.dtype), doj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            rp = jnp.float32(1.0 / (1.0 - p_drop))
-            p_dropped = jnp.where(keep, p, 0.0) * rp
-            dp = jnp.where(keep, dp, 0.0) * rp
-        else:
-            p_dropped = p
-        dv_acc[...] += jax.lax.dot_general(
-            p_dropped.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - di_col) * jnp.float32(scale)
-        dk_acc[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            ds = p * (dp - di_col) * jnp.float32(scale)
+            dk_acc[...] += jax.lax.dot_general(
+                ds.astype(qj.dtype), qj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    active = j < q_cnt_ref[ik]
+    full = q_full_ref[ik, j] == 1
+    pl.when(active & full)(lambda: _compute(masked=False))
+    pl.when(active & jnp.logical_not(full))(lambda: _compute(masked=True))
 
     @pl.when(j == max_q - 1)
     def _finalize():
@@ -488,15 +614,19 @@ def _bs_dkv_kernel(
 def _bs_dq_kernel(
     kv_idx_ref,
     kv_cnt_ref,
+    kv_full_ref,
     *refs,
     sk: int,
+    sk_pad: int,
     block_q: int,
+    block_k: int,
     max_kv: int,
     causal: bool,
     has_segments: bool,
     scale: float,
     p_drop: float,
     num_heads: int,
+    chains: int,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -513,51 +643,68 @@ def _bs_dq_kernel(
     iq = pl.program_id(2)
     j = pl.program_id(3)
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
-    cell = kv_idx_ref[iq, j]
+    tile = kv_idx_ref[iq, j]
+    cell0 = tile * (block_k // COL_CELL)
+    col0 = tile * block_k
+    bounds_possible = sk != sk_pad
+    bqs = block_q // chains
 
     @pl.when(j == 0)
     def _init():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    @pl.when(j < kv_cnt_ref[iq])
-    def _compute():
-        q = q_ref[0, 0]
+    def _compute(masked: bool):
         k = k_ref[0, 0]
         v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse2 = lse_ref[0, 0][:, 0:1] * jnp.float32(1.4426950408889634)
-        di_col = di_ref[0, 0][:, 0:1]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        c = jnp.float32(scale * 1.4426950408889634)
-        rows = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 0)
-            + iq * block_q
-        )
-        cols = (
-            jax.lax.broadcasted_iota(jnp.int32, (block_q, BLOCK_K), 1)
-            + cell * BLOCK_K
-        )
-        mask = _mask_for_tile(
-            rowmask_ref[...], cell, rows, cols, sk=sk, causal=causal,
-            seg_refs=seg_refs,
-        )
-        p = jnp.where(mask, jnp.exp2(s * c - lse2), 0.0)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if p_drop > 0.0:
-            keep = prng.keep_mask(
-                seed_ref[0, 0], bh.astype(jnp.uint32),
-                rows.astype(jnp.uint32), cols.astype(jnp.uint32), p_drop,
+        c = jnp.float32(scale * LOG2E)
+        lse_col = lse_ref[0, 0]
+        di_full = di_ref[0, 0]
+        for jc in range(chains):
+            rows_sl = slice(jc * bqs, (jc + 1) * bqs)
+            row0 = iq * block_q + jc * bqs
+            qj = q_ref[0, 0, rows_sl, :]
+            doj = do_ref[0, 0, rows_sl, :]
+            s = jax.lax.dot_general(
+                qj, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                doj, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            lse2 = lse_col[rows_sl] * jnp.float32(LOG2E)
+            di_col = di_full[rows_sl]
+            p = jnp.exp2(s * c - lse2)
+            if masked:
+                mask = _tile_mask(
+                    rowmask_ref[...], rows_sl, cell0, row0, col0,
+                    (bqs, block_k), sk=sk, bounds_possible=bounds_possible,
+                    causal=causal, seg_refs=seg_refs,
+                )
+                p = jnp.where(mask, p, 0.0)
+            if p_drop > 0.0:
+                rows_v = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bqs, 1), 0) + row0
+                )
+                cols_v = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+                    + col0
+                )
+                keep = prng.keep_mask(
+                    seed_ref[0, 0], bh.astype(jnp.uint32),
+                    rows_v.astype(jnp.uint32), cols_v.astype(jnp.uint32),
+                    p_drop,
+                )
+                dp = jnp.where(keep, dp, 0.0) * jnp.float32(
+                    1.0 / (1.0 - p_drop))
+            ds = p * (dp - di_col) * jnp.float32(scale)
+            dq_acc[rows_sl] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            dp = jnp.where(keep, dp, 0.0) * jnp.float32(1.0 / (1.0 - p_drop))
-        ds = p * (dp - di_col) * jnp.float32(scale)
-        dq_acc[...] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+
+    active = j < kv_cnt_ref[iq]
+    full = kv_full_ref[iq, j] == 1
+    pl.when(active & full)(lambda: _compute(masked=False))
+    pl.when(active & jnp.logical_not(full))(lambda: _compute(masked=True))
 
     @pl.when(j == max_kv - 1)
     def _finalize():
@@ -570,7 +717,7 @@ def blocksparse_attention_bwd(
     v,
     out,
     dout,
-    lse,  # (b, h, sq_pad, 128) lane-replicated
+    lse,  # (b, h, sq_pad) fp32 packed
     layout: BlockSparseLayout,
     q_segment_ids,
     kv_segment_ids,
@@ -584,13 +731,19 @@ def blocksparse_attention_bwd(
     b, h, sq_pad, d = q.shape
     sk_pad = k.shape[2]
     bq = layout.block_q
+    bk = layout.block_k
     nq = sq_pad // bq
-    nk = sk_pad // BLOCK_K
+    nk_t = sk_pad // bk
     has_segments = q_segment_ids is not None
     p_drop = float(dropout_p)
+    chains = max(1, bq // 256)
+    while bq % (chains * 128) != 0:
+        chains -= 1
 
-    di = jnp.sum(out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1)
-    di = jnp.broadcast_to(di[..., None], (*di.shape, NUM_LANES))
+    di = jnp.sum(
+        out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1
+    )[..., None]  # (b, h, sq_pad, 1) packed
+    lse4 = lse.astype(jnp.float32).reshape(b, h, sq_pad, 1)
 
     seed_args, seed_specs = [], []
     if p_drop > 0.0:
@@ -604,42 +757,40 @@ def blocksparse_attention_bwd(
     def tensor_specs(qmap, kmap):
         return [
             pl.BlockSpec((1, 1, bq, d), qmap, memory_space=pltpu.VMEM),  # q
-            pl.BlockSpec((1, 1, BLOCK_K, d), kmap, memory_space=pltpu.VMEM),  # k
-            pl.BlockSpec((1, 1, BLOCK_K, d), kmap, memory_space=pltpu.VMEM),  # v
+            pl.BlockSpec((1, 1, bk, d), kmap, memory_space=pltpu.VMEM),  # k
+            pl.BlockSpec((1, 1, bk, d), kmap, memory_space=pltpu.VMEM),  # v
             pl.BlockSpec((1, 1, bq, d), qmap, memory_space=pltpu.VMEM),  # do
-            pl.BlockSpec(
-                (1, 1, bq, NUM_LANES),
-                lambda *a: qmap(*a)[:3] + (0,),
-                memory_space=pltpu.VMEM,
-            ),  # lse
-            pl.BlockSpec(
-                (1, 1, bq, NUM_LANES),
-                lambda *a: qmap(*a)[:3] + (0,),
-                memory_space=pltpu.VMEM,
-            ),  # di
+            pl.BlockSpec((1, 1, bq, 1), qmap, memory_space=pltpu.VMEM),  # lse
+            pl.BlockSpec((1, 1, bq, 1), qmap, memory_space=pltpu.VMEM),  # di
         ]
 
-    # ---- dKV: grid (b, h, nk, max_q); q blocks indexed via q_indices ----
-    qmap = lambda b_, h_, ik, j, idx, cnt: (b_, h_, idx[ik, j], 0)  # noqa: E731
-    kmap = lambda b_, h_, ik, j, idx, cnt: (b_, h_, ik, 0)  # noqa: E731
+    common = dict(
+        sk=sk, sk_pad=sk_pad, block_q=bq, block_k=bk, causal=layout.causal,
+        has_segments=has_segments, scale=float(softmax_scale),
+        p_drop=p_drop, num_heads=h, chains=chains,
+    )
+
+    # ---- dKV: grid (b, h, nk_t, max_q); q blocks indexed via q_indices ----
+    qmap = lambda b_, h_, ik, j, idx, cnt, flg: (b_, h_, idx[ik, j], 0)  # noqa: E731
+    kmap = lambda b_, h_, ik, j, idx, cnt, flg: (b_, h_, ik, 0)  # noqa: E731
     in_specs = seed_specs + tensor_specs(qmap, kmap) + [
         pl.BlockSpec(
             (bq, ncol),
-            lambda b_, h_, ik, j, idx, cnt: (idx[ik, j], 0),
+            lambda b_, h_, ik, j, idx, cnt, flg: (idx[ik, j], 0),
             memory_space=pltpu.VMEM,
         )
     ]
-    args = seed_args + [q, k, v, dout, lse, di, layout.rowmask]
+    args = seed_args + [q, k, v, dout, lse4, di, layout.rowmask]
     if has_segments:
         in_specs += [
             pl.BlockSpec(
                 (1, bq),
-                lambda b_, h_, ik, j, idx, cnt: (b_, idx[ik, j]),
+                lambda b_, h_, ik, j, idx, cnt, flg: (b_, idx[ik, j]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, BLOCK_K),
-                lambda b_, h_, ik, j, idx, cnt: (b_, ik),
+                (1, bk),
+                lambda b_, h_, ik, j, idx, cnt, flg: (b_, ik),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -647,25 +798,20 @@ def blocksparse_attention_bwd(
             q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32)
         ]
     kv_out = pl.BlockSpec(
-        (1, 1, BLOCK_K, d),
-        lambda b_, h_, ik, j, idx, cnt: (b_, h_, ik, 0),
+        (1, 1, bk, d),
+        lambda b_, h_, ik, j, idx, cnt, flg: (b_, h_, ik, 0),
         memory_space=pltpu.VMEM,
     )
     dk, dv = pl.pallas_call(
-        functools.partial(
-            _bs_dkv_kernel,
-            sk=sk, block_q=bq, max_q=layout.max_q, causal=layout.causal,
-            has_segments=has_segments, scale=float(softmax_scale),
-            p_drop=p_drop, num_heads=h,
-        ),
+        functools.partial(_bs_dkv_kernel, max_q=layout.max_q, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b, h, nk, layout.max_q),
+            num_scalar_prefetch=3,
+            grid=(b, h, nk_t, layout.max_q),
             in_specs=in_specs,
             out_specs=[kv_out, kv_out],
             scratch_shapes=[
-                pltpu.VMEM((BLOCK_K, d), jnp.float32),
-                pltpu.VMEM((BLOCK_K, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
             ],
         ),
         out_shape=[
@@ -676,29 +822,29 @@ def blocksparse_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layout.q_indices, layout.q_counts, *args)
+    )(layout.q_indices, layout.q_counts, layout.q_full, *args)
 
     # ---- dQ: grid (b, h, nq, max_kv) ----
-    qmap = lambda b_, h_, iq, j, idx, cnt: (b_, h_, iq, 0)  # noqa: E731
-    kmap = lambda b_, h_, iq, j, idx, cnt: (b_, h_, idx[iq, j], 0)  # noqa: E731
+    qmap = lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0)  # noqa: E731
+    kmap = lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, idx[iq, j], 0)  # noqa: E731
     in_specs = seed_specs + tensor_specs(qmap, kmap) + [
         pl.BlockSpec(
             (bq, ncol),
-            lambda b_, h_, iq, j, idx, cnt: (iq, 0),
+            lambda b_, h_, iq, j, idx, cnt, flg: (iq, 0),
             memory_space=pltpu.VMEM,
         )
     ]
-    args = seed_args + [q, k, v, dout, lse, di, layout.rowmask]
+    args = seed_args + [q, k, v, dout, lse4, di, layout.rowmask]
     if has_segments:
         in_specs += [
             pl.BlockSpec(
                 (1, bq),
-                lambda b_, h_, iq, j, idx, cnt: (b_, iq),
+                lambda b_, h_, iq, j, idx, cnt, flg: (b_, iq),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, BLOCK_K),
-                lambda b_, h_, iq, j, idx, cnt: (b_, idx[iq, j]),
+                (1, bk),
+                lambda b_, h_, iq, j, idx, cnt, flg: (b_, idx[iq, j]),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -706,19 +852,14 @@ def blocksparse_attention_bwd(
             q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32)
         ]
     dq = pl.pallas_call(
-        functools.partial(
-            _bs_dq_kernel,
-            sk=sk, block_q=bq, max_kv=layout.max_kv, causal=layout.causal,
-            has_segments=has_segments, scale=float(softmax_scale),
-            p_drop=p_drop, num_heads=h,
-        ),
+        functools.partial(_bs_dq_kernel, max_kv=layout.max_kv, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, h, nq, layout.max_kv),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, bq, d),
-                lambda b_, h_, iq, j, idx, cnt: (b_, h_, iq, 0),
+                lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
@@ -728,5 +869,5 @@ def blocksparse_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layout.kv_indices, layout.kv_counts, *args)
+    )(layout.kv_indices, layout.kv_counts, layout.kv_full, *args)
     return dq, dk, dv

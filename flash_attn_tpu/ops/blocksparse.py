@@ -20,6 +20,8 @@ import numpy as np
 from flash_attn_tpu.kernels.blocksparse import (
     BLOCK_K,
     COL_CELL,
+    DEFAULT_BLOCK_K,
+    DEFAULT_BLOCK_Q,
     ROW_CELL,
     BlockSparseLayout,
     blocksparse_attention_bwd,
@@ -50,6 +52,7 @@ class _BsConfig:
     sq_pad: int
     sk_pad: int
     block_q: int
+    block_k: int
     causal: bool
     softmax_scale: float
     dropout_p: float
@@ -58,15 +61,19 @@ class _BsConfig:
 
 
 def _layout_from(cfg: _BsConfig, arrays) -> BlockSparseLayout:
-    kv_indices, kv_counts, q_indices, q_counts, rowmask = arrays
+    (kv_indices, kv_counts, kv_full, q_indices, q_counts, q_full,
+     rowmask) = arrays
     return BlockSparseLayout(
         sq_pad=cfg.sq_pad,
         sk_pad=cfg.sk_pad,
         block_q=cfg.block_q,
+        block_k=cfg.block_k,
         kv_indices=kv_indices,
         kv_counts=kv_counts,
+        kv_full=kv_full,
         q_indices=q_indices,
         q_counts=q_counts,
+        q_full=q_full,
         rowmask=rowmask,
         causal=cfg.causal,
     )
@@ -117,7 +124,8 @@ def blocksparse_attention(
     key_padding_mask: jax.Array | None = None,  # (b, sk) bool, True = valid
     dropout_p: float = 0.0,
     dropout_seed=None,
-    block_q: int = 128,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
     return_lse: bool = False,
     interpret: bool | None = None,
 ):
@@ -140,7 +148,7 @@ def blocksparse_attention(
     else:
         layout = build_layout(
             np.asarray(blockmask), sq=sq, sk=sk, block_q=block_q,
-            causal=causal,
+            block_k=block_k, causal=causal,
         )
 
     d_pad = _round_up(d, MIN_BLOCK)
@@ -171,18 +179,18 @@ def blocksparse_attention(
     )
     cfg = _BsConfig(
         sq=sq, sk=sk, sq_pad=sq_pad, sk_pad=sk_pad, block_q=layout.block_q,
-        causal=causal, softmax_scale=float(softmax_scale),
+        block_k=layout.block_k, causal=causal, softmax_scale=float(softmax_scale),
         dropout_p=float(dropout_p), has_segments=has_segments,
         interpret=interpret,
     )
     lay = (
-        layout.kv_indices, layout.kv_counts, layout.q_indices,
-        layout.q_counts, layout.rowmask,
+        layout.kv_indices, layout.kv_counts, layout.kv_full,
+        layout.q_indices, layout.q_counts, layout.q_full, layout.rowmask,
     )
     if return_lse:
         out, lse = _bs_fwd(cfg, qp, kp, vp, lay, seg, seed)
         out = jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
-        return out, lse[:, :, :sq, 0]
+        return out, lse[:, :, :sq]
     out = _bs_core(cfg, qp, kp, vp, lay, seg, seed)
     return jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
 

@@ -105,7 +105,7 @@ def test_dropout_determinism():
         assert bool(jnp.all(out0 == outi))
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_dropout_bwd_matches_reference_under_same_mask(dtype):
     rng = np.random.default_rng(25)
     b, s, h, d = 2, 128, 2, 64
@@ -123,17 +123,30 @@ def test_dropout_bwd_matches_reference_under_same_mask(dtype):
         )
         return jnp.sum(out * g)
 
-    def loss_ref(q, k, v):
+    def loss_ref(q, k, v, upcast):
+        qb, kb, vb = map(to_bhsd, (q, k, v))
+        if upcast:
+            qb, kb, vb = (x.astype(jnp.float32) for x in (qb, kb, vb))
         out = attention_ref(
-            to_bhsd(q), to_bhsd(k), to_bhsd(v), causal=True,
-            dropout_mask=keep, dropout_p=P_DROP,
+            qb, kb, vb, causal=True,
+            dropout_mask=keep, dropout_p=P_DROP, upcast=upcast,
         )
-        return jnp.sum(out * to_bhsd(g))
+        return jnp.sum(out * to_bhsd(g).astype(out.dtype))
 
     grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
-    grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
-    for a, r, name in zip(grads, grads_ref, "qkv"):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(r), atol=5e-4, rtol=1e-3,
-            err_msg=f"d{name}",
-        )
+    grads32 = jax.grad(
+        lambda a, b_, c: loss_ref(a, b_, c, True), argnums=(0, 1, 2)
+    )(q, k, v)
+    if dtype == jnp.float32:
+        for a, r, name in zip(grads, grads32, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), atol=5e-4, rtol=1e-3,
+                err_msg=f"d{name}",
+            )
+    else:
+        # bf16: dual-reference 2x bound (the reference methodology).
+        gradsnat = jax.grad(
+            lambda a, b_, c: loss_ref(a, b_, c, False), argnums=(0, 1, 2)
+        )(q, k, v)
+        for a, r32, rnat, name in zip(grads, grads32, gradsnat, "qkv"):
+            assert_two_x_bound(a, r32, rnat, atol=2e-3, label=f"d{name}")

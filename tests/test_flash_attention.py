@@ -34,13 +34,22 @@ def _refs(q, k, v, **kw):
     return jnp.transpose(ref32, (0, 2, 1, 3)), jnp.transpose(refnat, (0, 2, 1, 3))
 
 
+# Reference matrix breadth (reference tests/test_flash_attn.py:332-341):
+# seqlens {97,128,200,256,257,384,512,768,1024,1025,2048} x
+# d {32,56,64,80,96,128}. Batch/heads shrink with seqlen to keep CPU
+# interpret-mode time sane; 2048 runs a d subset (the cost is in the
+# residue/tiling logic, which 768/1024/1025 already cover per d).
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("d", [32, 56, 64, 80, 96, 128])
-@pytest.mark.parametrize("seqlen", [97, 128, 257, 384, 512, 1025])
+@pytest.mark.parametrize(
+    "seqlen", [97, 128, 200, 256, 257, 384, 512, 768, 1024, 1025, 2048]
+)
 def test_fwd_dense(dtype, causal, d, seqlen):
+    if seqlen == 2048 and d not in (64, 128):
+        pytest.skip("2048 runs a d subset (cost control)")
     rng = np.random.default_rng(seed=hash((causal, d, seqlen)) % 2**32)
-    b, h = 2, 2
+    b, h = (2, 2) if seqlen < 768 else (1, 1)
     q, k, v = random_qkv(rng, b, seqlen, seqlen, h, d, dtype)
     out, lse = flash_attention(q, k, v, causal=causal, return_lse=True)
     assert out.shape == q.shape and out.dtype == dtype
@@ -68,13 +77,20 @@ def test_fwd_cross_attention(causal, sq, sk):
     assert_two_x_bound(out, ref32, refnat, atol=1e-4, label="out")
 
 
+# Backward matrix: every reference head dim (incl. d=128 — the
+# reference's hardest case, A100-only there) x aligned + non-aligned
+# seqlens; longer seqlens exercise the two-kernel split at d=64.
 @pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.float32])
 @pytest.mark.parametrize("causal", [False, True])
-@pytest.mark.parametrize("d", [64, 80])
-@pytest.mark.parametrize("seqlen", [128, 257])
+@pytest.mark.parametrize("d", [32, 56, 64, 80, 96, 128])
+@pytest.mark.parametrize("seqlen", [128, 257, 512])
 def test_bwd_dense(dtype, causal, d, seqlen):
+    if seqlen == 512 and d != 64:
+        pytest.skip("512 bwd runs d=64 only (cost control)")
+    if seqlen == 512 and dtype == jnp.float32:
+        pytest.skip("512 bwd runs bf16 only (cost control)")
     rng = np.random.default_rng(seed=1234 + d + seqlen)
-    b, h = 2, 2
+    b, h = (2, 2) if seqlen < 512 else (1, 1)
     q, k, v = random_qkv(rng, b, seqlen, seqlen, h, d, dtype)
     g = jnp.asarray(rng.standard_normal((b, seqlen, h, d)), dtype=dtype)
 

@@ -94,3 +94,54 @@ def test_flashmha_gqa_module():
     # fewer kv projections than MHA
     wqkv = params["params"]["Wqkv"]["kernel"]
     assert wqkv.shape == (256, (8 + 2 * 2) * 32)
+
+
+def test_gqa_dropout_segments_combined():
+    """GQA x dropout x segment-id varlen in one call (the reference's
+    combined-feature coverage): must equal the broadcast-KV call with the
+    same seed (dropout keys on query-head coordinates, so the masks
+    coincide), forward and gradients."""
+    b, s, hq, hkv, d = 2, 256, 4, 2, 64
+    q, k, v = _inputs(b=b, sq=s, sk=s, hq=hq, hkv=hkv, d=d, seed=7)
+    group = hq // hkv
+    rng = np.random.default_rng(8)
+    # two segments per row + trailing padding
+    seg = jnp.asarray(
+        np.concatenate([
+            np.zeros((b, 100), np.int32),
+            np.ones((b, 120), np.int32),
+            np.full((b, 36), -1, np.int32),
+        ], axis=1)
+    )
+    kw = dict(
+        causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+        dropout_p=0.17, dropout_seed=31,
+    )
+    g = jnp.asarray(rng.standard_normal((b, s, hq, d)), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, **kw) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            flash_attention(
+                q, _broadcast_kv(k, group), _broadcast_kv(v, group), **kw
+            ) * g
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(flash_attention(q, k, v, **kw)),
+        np.asarray(
+            flash_attention(
+                q, _broadcast_kv(k, group), _broadcast_kv(v, group), **kw
+            )
+        ),
+        atol=1e-5,
+    )
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    # loss_ref differentiates w.r.t. the PRE-broadcast k/v: jnp.repeat's
+    # transpose already group-sums, so shapes match dk/dv directly.
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=2e-5)
