@@ -68,6 +68,40 @@ def main():
     ttft = sorted(ts)[len(ts) // 2]
     print(f"p50 TTFT (b={b}, prompt={s}, GPT-2 small): {ttft * 1e3:.1f} ms")
 
+    # --- multi-admission TTFT through the real engine (batched bucketed
+    # prefill + page-granular aliased write_prompt). One engine instance:
+    # its jitted steps compile once per (rows, bucket) shape; requests
+    # with max_new_tokens=1 retire at admission, freeing the slots. ---
+    from flash_attn_tpu.serving.engine import ServingEngine
+
+    eng = ServingEngine(
+        params, cfg, max_batch=8, num_pages=8 * pages_per_seq + 1,
+        page_size=page_size, pages_per_seq=pages_per_seq,
+    )
+    base_prompt = np.asarray(ids[0, : s - 1])
+    for n_admit in (1, 4):
+        for _ in range(n_admit):  # warm/compile this batch shape
+            eng.submit(list(base_prompt), max_new_tokens=1)
+        eng.step()
+        ts = []
+        for i in range(5):
+            prompts = [
+                list((base_prompt + i + j) % cfg.vocab_size)
+                for j in range(n_admit)
+            ]
+            t0 = time.perf_counter()
+            for p in prompts:
+                eng.submit(p, max_new_tokens=1)
+            eng.step()  # admit: batched prefill + page writes + 1st token
+            t1 = time.perf_counter()
+            ts.append(t1 - t0)
+        med = sorted(ts)[len(ts) // 2]
+        print(
+            f"engine TTFT, {n_admit} concurrent admission(s) "
+            f"(prompt={s - 1}): {med * 1e3:.1f} ms total, "
+            f"{med / n_admit * 1e3:.1f} ms/request"
+        )
+
     for quant in [None, "int8", "fp8_e4m3"]:
         caches = [
             init_cache(cfg.n_head, num_pages, page_size, hd,

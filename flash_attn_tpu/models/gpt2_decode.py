@@ -51,9 +51,21 @@ def _qkv(x, p, cfg: GPT2Config):
     return qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
 
 
-def prefill(params, cfg: GPT2Config, input_ids: jax.Array):
-    """Run a batch of same-length prompts (b, s); returns (logits of last
-    token (b, vocab), per-layer k/v lists [(b, s, n_head, hd)])."""
+def prefill(
+    params,
+    cfg: GPT2Config,
+    input_ids: jax.Array,
+    lengths: jax.Array | None = None,
+):
+    """Run a batch of prompts (b, s); returns (logits of each prompt's
+    last token (b, vocab), per-layer k/v lists [(b, s, n_head, hd)]).
+
+    ``lengths`` (b,) enables BATCHED prefill of unequal prompts padded to
+    a shared bucket length: rows beyond a prompt's length are padding
+    (causal attention keeps them from influencing valid rows; their k/v
+    rows are garbage and must not be written to the cache beyond
+    ceil(length/page_size) pages), and the returned logits are taken at
+    position lengths-1 per row instead of -1."""
     p = params["params"]
     b, s = input_ids.shape
     x = p["wte"][input_ids] + p["wpe"][None, :s]
@@ -71,7 +83,14 @@ def prefill(params, cfg: GPT2Config, input_ids: jax.Array):
         h = _layer_norm(x.astype(jnp.float32), lp["ln_2"]).astype(cfg.dtype)
         x = x + _mlp(h, lp["mlp"]).astype(cfg.dtype)
     x = _layer_norm(x.astype(jnp.float32), p["ln_f"])
-    logits = x[:, -1] @ p["wte"].T.astype(jnp.float32)
+    if lengths is None:
+        last = x[:, -1]
+    else:
+        idx = jnp.clip(lengths - 1, 0, s - 1)
+        last = jnp.take_along_axis(
+            x, idx[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0]
+    logits = last @ p["wte"].T.astype(jnp.float32)
     return logits, ks, vs
 
 

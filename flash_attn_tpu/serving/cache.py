@@ -247,36 +247,114 @@ def append_token(
     return PagedKVCache(k_pages, v_pages, None, None)
 
 
+def _write_pages_kernel(
+    page_ids_ref,  # scalar prefetch (n_pages,)
+    *refs,
+    quantized: bool,
+):
+    """Overwrite one cache page per grid step with the prepared payload.
+    Outputs alias the cache buffers: only the touched pages move."""
+    if quantized:
+        newk, newv, ks_new, vs_new, _ki, _vi, _ksi, _vsi = refs[:8]
+        kout, vout, ksout, vsout = refs[8:12]
+        ksout[...] = ks_new[...]
+        vsout[...] = vs_new[...]
+    else:
+        newk, newv, _ki, _vi = refs[:4]
+        kout, vout = refs[4:6]
+    kout[...] = newk[...]
+    vout[...] = newv[...]
+
+
 def write_prompt(
     cache: PagedKVCache,
     k: jax.Array,  # (prompt_len, n_kv_heads, d)
     v: jax.Array,
     page_ids: jax.Array,  # (ceil(prompt_len/page_size),) int32
 ) -> PagedKVCache:
-    """Prefill: write a whole prompt's K/V into its assigned pages."""
+    """Prefill: write a whole prompt's K/V into its assigned pages.
+
+    Pallas kernel with input_output_aliases — the `.at[:, ids].set`
+    scatter this replaces copies the WHOLE multi-MB page buffer per layer
+    per admission (the exact pattern append_token avoids), multiplying
+    TTFT under concurrent admission; here only the prompt's own pages
+    round-trip."""
     ps = cache.page_size
     n_pages = page_ids.shape[0]
     total = n_pages * ps
+    h, d = k.shape[1], k.shape[2]
     method = _quant_method(cache)
+    quantized = method is not None
 
-    def write(pages, scales, x):
+    def prep(x, payload_dtype):
         pad = total - x.shape[0]
         xp = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
         # (total, h, d) -> (h, n_pages, ps, d)
-        xp = jnp.transpose(xp, (1, 0, 2)).reshape(
-            x.shape[1], n_pages, ps, x.shape[2]
-        )
+        xp = jnp.transpose(xp, (1, 0, 2)).reshape(h, n_pages, ps, d)
         if method is None:
-            pages = pages.at[:, page_ids].set(xp.astype(pages.dtype))
-            return pages, scales
+            return xp.astype(payload_dtype), None
         payload, scale = qz.quantize_pages(xp, method)
-        pages = pages.at[:, page_ids].set(payload.astype(pages.dtype))
-        scales = scales.at[:, page_ids].set(scale)
-        return pages, scales
+        return payload.astype(payload_dtype), scale
 
-    k_pages, k_scales = write(cache.k_pages, cache.k_scales, k)
-    v_pages, v_scales = write(cache.v_pages, cache.v_scales, v)
-    return PagedKVCache(k_pages, v_pages, k_scales, v_scales)
+    k_new, ks_new = prep(k, cache.k_pages.dtype)
+    v_new, vs_new = prep(v, cache.v_pages.dtype)
+
+    src_map = lambda j, pids: (0, j, 0, 0)  # noqa: E731
+    dst_map = lambda j, pids: (0, pids[j], 0, 0)  # noqa: E731
+    page_spec_src = pl.BlockSpec((h, 1, ps, d), src_map,
+                                 memory_space=pltpu.VMEM)
+    page_spec_dst = pl.BlockSpec((h, 1, ps, d), dst_map,
+                                 memory_space=pltpu.VMEM)
+    scale_spec_src = pl.BlockSpec((h, 1, 1, ps), src_map,
+                                  memory_space=pltpu.VMEM)
+    scale_spec_dst = pl.BlockSpec((h, 1, 1, ps), dst_map,
+                                  memory_space=pltpu.VMEM)
+
+    in_specs = [page_spec_src, page_spec_src]
+    args = [k_new, v_new]
+    out_specs = [page_spec_dst, page_spec_dst]
+    out_shapes = [
+        jax.ShapeDtypeStruct(cache.k_pages.shape, cache.k_pages.dtype),
+        jax.ShapeDtypeStruct(cache.v_pages.shape, cache.v_pages.dtype),
+    ]
+    if quantized:
+        in_specs += [scale_spec_src, scale_spec_src]
+        args += [ks_new, vs_new]
+        out_specs += [scale_spec_dst, scale_spec_dst]
+        out_shapes += [
+            jax.ShapeDtypeStruct(cache.k_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(cache.v_scales.shape, jnp.float32),
+        ]
+    # aliased cache inputs (fetched per touched page, overwritten)
+    n_in = len(args)
+    in_specs += [page_spec_dst, page_spec_dst]
+    args += [cache.k_pages, cache.v_pages]
+    # +1: scalar-prefetch page_ids precedes tensor args in alias indexing
+    aliases = {n_in + 1: 0, n_in + 2: 1}
+    if quantized:
+        in_specs += [scale_spec_dst, scale_spec_dst]
+        args += [cache.k_scales, cache.v_scales]
+        aliases[n_in + 3] = 2
+        aliases[n_in + 4] = 3
+
+    outs = pl.pallas_call(
+        functools.partial(_write_pages_kernel, quantized=quantized),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_pages,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=default_interpret(),
+    )(page_ids.astype(jnp.int32), *args)
+    if quantized:
+        return PagedKVCache(*outs)
+    return PagedKVCache(outs[0], outs[1], None, None)
 
 
 class PageAllocator:

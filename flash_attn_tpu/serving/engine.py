@@ -4,12 +4,17 @@ Host-side scheduler + device-side jitted steps:
 
   - requests queue; admission whenever a batch slot AND enough cache pages
     are free (paged allocator, serving/cache.py)
-  - prefill: one request at a time through the fused flash-attention
-    forward; K/V written into its assigned pages
+  - prefill: BATCHED — every admissible pending request in one bucketed
+    call (prompts padded to a shared 128-multiple bucket, batch padded to
+    a power of two so jit variants stay bounded); K/V written into each
+    request's pages with the page-granular aliased kernel
+    (serving/cache.py write_prompt)
   - decode: ALL active slots advance one token per engine step through the
     paged decode kernel (inactive slots are masked and pointed at the
     reserved scratch page 0)
-  - greedy or temperature sampling; sequences retire on EOS / max tokens
+  - sampling: greedy (temperature=0), or temperature softmax sampling with
+    optional top-k truncation; deterministic per (engine seed, step)
+  - sequences retire on EOS / max tokens
 
 The KV cache is bf16 or quantized (int8 / fp8_e4m3) — the decode kernel
 dequantizes in-kernel (BASELINE north star: FP8 KV-cache serving).
@@ -43,6 +48,17 @@ class Request:
     done: bool = False
 
 
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _next_pow2(x):
+    n = 1
+    while n < x:
+        n *= 2
+    return n
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -55,6 +71,9 @@ class ServingEngine:
         pages_per_seq: int = 16,
         kv_quantization: Optional[str] = None,  # None | 'int8' | 'fp8_e4m3'
         eos_token: Optional[int] = None,
+        temperature: float = 0.0,  # 0 = greedy argmax
+        top_k: Optional[int] = None,  # with temperature > 0
+        sample_seed: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -62,6 +81,8 @@ class ServingEngine:
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
         self.eos_token = eos_token
+        self.temperature = float(temperature)
+        self.top_k = top_k
         hd = cfg.n_embd // cfg.n_head
         self.caches = [
             init_cache(
@@ -80,6 +101,8 @@ class ServingEngine:
         self.pending: list[Request] = []
         self.finished: list[Request] = []
         self._next_id = 0
+        self._base_key = jax.random.PRNGKey(sample_seed)
+        self._step_count = 0
 
         # params must be a jit *argument*, not a closure constant:
         # jit inlines closure constants into the HLO (hundreds of MB for a
@@ -87,7 +110,10 @@ class ServingEngine:
         # executable).
         cfg_ = self.cfg
         self._prefill = functools.partial(
-            jax.jit(lambda p, ids: prefill(p, cfg_, ids)), self.params
+            jax.jit(
+                lambda p, ids, lens: prefill(p, cfg_, ids, lens)
+            ),
+            self.params,
         )
         self._decode = functools.partial(
             jax.jit(
@@ -100,6 +126,40 @@ class ServingEngine:
             ),
             self.params,
         )
+        n_layer = cfg.n_layer
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _write_all(caches, ks, vs, page_tbl):
+            """All admitted sequences' pages for ALL layers in one
+            dispatch (each eager write_prompt call through the tunnel
+            costs an RTT; 12 layers x batch would multiply TTFT ~100x).
+            page_tbl rows are padded with the reserved scratch page 0, so
+            full-bucket writes are safe for short prompts / padding rows."""
+            caches = list(caches)
+            rows = page_tbl.shape[0]
+            for li in range(n_layer):
+                for i in range(rows):
+                    caches[li] = write_prompt(
+                        caches[li], ks[li][i], vs[li][i], page_tbl[i]
+                    )
+            return caches
+
+        self._write_all = _write_all
+        temp, tk = self.temperature, self.top_k
+
+        @jax.jit
+        def _sample(logits, key):
+            if temp <= 0.0:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            scaled = logits.astype(jnp.float32) / temp
+            if tk is not None:
+                kth = jax.lax.top_k(scaled, tk)[0][..., -1:]
+                scaled = jnp.where(scaled >= kth, scaled, -jnp.inf)
+            return jax.random.categorical(key, scaled, axis=-1).astype(
+                jnp.int32
+            )
+
+        self._sample = _sample
 
     # -- public API ---------------------------------------------------------
 
@@ -121,34 +181,63 @@ class ServingEngine:
 
     # -- internals ----------------------------------------------------------
 
-    def _free_slot(self) -> int | None:
-        for i in range(self.max_batch):
-            if self.lengths[i] < 0:
-                return i
-        return None
+    def _next_key(self):
+        key = jax.random.fold_in(self._base_key, self._step_count)
+        self._step_count += 1
+        return key
+
+    def _free_slots(self) -> list[int]:
+        return [i for i in range(self.max_batch) if self.lengths[i] < 0]
 
     def _admit(self) -> None:
-        while self.pending:
-            slot = self._free_slot()
+        """Admit every pending request that fits (slot + pages) in ONE
+        batched, bucketed prefill call."""
+        slots = self._free_slots()
+        batch: list[tuple[int, Request, list[int]]] = []
+        while self.pending and slots:
             req = self.pending[0]
-            if slot is None or not self.alloc.can_admit(len(req.prompt) + 1):
-                return
+            if not self.alloc.can_admit(len(req.prompt) + 1):
+                break
             self.pending.pop(0)
             pages = self.alloc.alloc(req.seq_id, len(req.prompt) + 1)
-            row = self.alloc.table_row(req.seq_id)
-            self.page_table[slot] = row
-            # prefill on device
-            ids = jnp.asarray(req.prompt, jnp.int32)[None]
-            logits, ks, vs = self._prefill(ids)
-            page_ids = jnp.asarray(pages, jnp.int32)
-            for li in range(self.cfg.n_layer):
-                self.caches[li] = write_prompt(
-                    self.caches[li], ks[li][0], vs[li][0], page_ids
-                )
-            self.lengths[slot] = len(req.prompt)
-            self.next_token[slot] = int(jnp.argmax(logits[0]))
+            batch.append((slots.pop(0), req, pages))
+        if not batch:
+            return
+
+        max_len = max(len(req.prompt) for _, req, _ in batch)
+        bucket = _round_up(max_len, 128)
+        rows = _next_pow2(len(batch))
+        ids = np.zeros((rows, bucket), np.int32)
+        lens = np.zeros((rows,), np.int32)
+        for i, (_, req, _) in enumerate(batch):
+            ids[i, : len(req.prompt)] = req.prompt
+            lens[i] = len(req.prompt)
+        logits, ks, vs = self._prefill(
+            jnp.asarray(ids), jnp.asarray(lens)
+        )
+        first = np.asarray(
+            self._sample(logits, self._next_key()), np.int32
+        )
+        # One fused dispatch writes every admitted sequence's pages for
+        # every layer; rows beyond a prompt's pages target the reserved
+        # scratch page 0.
+        pages_per_bucket = bucket // self.page_size
+        tbl = np.zeros((rows, pages_per_bucket), np.int32)
+        for i, (_, req, pages) in enumerate(batch):
+            tbl[i, : len(pages[:pages_per_bucket])] = pages[:pages_per_bucket]
+        self.caches = list(
+            self._write_all(self.caches, ks, vs, jnp.asarray(tbl))
+        )
+        for i, (slot, req, pages) in enumerate(batch):
+            n = len(req.prompt)
+            self.page_table[slot] = self.alloc.table_row(req.seq_id)
+            self.lengths[slot] = n
+            self.next_token[slot] = int(first[i])
             self.slot_req[slot] = req
-            req.generated.append(int(self.next_token[slot]))
+            req.generated.append(int(first[i]))
+            # The prefill token may already complete the request
+            # (max_new_tokens=1 or immediate EOS).
+            self._maybe_retire(slot, req, int(first[i]))
 
     def step(self) -> None:
         """Admit what fits, then advance every active slot by one token."""
@@ -172,25 +261,29 @@ class ServingEngine:
             jnp.asarray(self.next_token),
         )
         self.caches = list(new_caches)
-        next_tok = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        next_tok = np.asarray(
+            self._sample(logits, self._next_key()), np.int32
+        )
         for slot, req in list(self.slot_req.items()):
             self.lengths[slot] += 1
             tok = int(next_tok[slot])
             req.generated.append(tok)
             self.next_token[slot] = tok
-            total_new = len(req.generated)
-            if (
-                total_new >= req.max_new_tokens
-                or (self.eos_token is not None and tok == self.eos_token)
-                or self.lengths[slot] + 1
-                >= min(
-                    self.cfg.max_position_embeddings,
-                    self.pages_per_seq * self.page_size,
-                )
-            ):
-                req.done = True
-                self.finished.append(req)
-                self.alloc.release(req.seq_id)
-                self.lengths[slot] = -1
-                self.page_table[slot] = 0
-                del self.slot_req[slot]
+            self._maybe_retire(slot, req, tok)
+
+    def _maybe_retire(self, slot: int, req: Request, tok: int) -> None:
+        if (
+            len(req.generated) >= req.max_new_tokens
+            or (self.eos_token is not None and tok == self.eos_token)
+            or self.lengths[slot] + 1
+            >= min(
+                self.cfg.max_position_embeddings,
+                self.pages_per_seq * self.page_size,
+            )
+        ):
+            req.done = True
+            self.finished.append(req)
+            self.alloc.release(req.seq_id)
+            self.lengths[slot] = -1
+            self.page_table[slot] = 0
+            del self.slot_req[slot]

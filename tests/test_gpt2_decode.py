@@ -147,3 +147,58 @@ def test_serving_engine_continuous_batching():
             [model_ids, jnp.asarray([[tok]], jnp.int32)], axis=1
         )
     assert req.generated == gen_ref, (req.generated, gen_ref)
+
+
+def test_serving_engine_sampling():
+    """Temperature/top-k sampling: valid tokens, deterministic per engine
+    seed, different across seeds."""
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(7)
+    prompts = [list(rng.integers(0, cfg.vocab_size, size=n)) for n in (12, 30)]
+
+    def run(seed):
+        engine = ServingEngine(
+            params, cfg, max_batch=2, num_pages=16, page_size=128,
+            pages_per_seq=2, temperature=0.8, top_k=20, sample_seed=seed,
+        )
+        for p in prompts:
+            engine.submit(p, max_new_tokens=5)
+        return [r.generated for r in engine.run(max_steps=50)]
+
+    a, b = run(0), run(0)
+    assert a == b  # deterministic for a fixed seed
+    c = run(1)
+    assert a != c  # seed changes the samples
+    for gens in a:
+        assert len(gens) == 5
+        assert all(0 <= t < cfg.vocab_size for t in gens)
+
+
+def test_serving_engine_batched_admission_matches_reference():
+    """Several prompts admitted in ONE bucketed prefill batch must still
+    reproduce the straight-line greedy decode per request."""
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(8)
+    prompts = [
+        list(rng.integers(0, cfg.vocab_size, size=n)) for n in (9, 25, 17)
+    ]
+    engine = ServingEngine(
+        params, cfg, max_batch=4, num_pages=32, page_size=128,
+        pages_per_seq=2,
+    )
+    for p in prompts:
+        engine.submit(p, max_new_tokens=4)
+    finished = engine.run(max_steps=60)
+    assert len(finished) == 3
+    by_id = {r.seq_id: r for r in finished}
+    for i, prompt in enumerate(prompts):
+        model_ids = jnp.asarray(prompt, jnp.int32)[None]
+        gen_ref = []
+        for _ in range(4):
+            logits = model.apply(params, model_ids)
+            tok = int(jnp.argmax(logits[0, -1]))
+            gen_ref.append(tok)
+            model_ids = jnp.concatenate(
+                [model_ids, jnp.asarray([[tok]], jnp.int32)], axis=1
+            )
+        assert by_id[i].generated == gen_ref, (i, by_id[i].generated, gen_ref)
