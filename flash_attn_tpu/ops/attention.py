@@ -278,6 +278,25 @@ def flash_attention(
       mask in forward and backward, any tiling.
     - ``return_lse``: also return the fp32 (b, h, sq) logsumexp.
     """
+    if q.dtype == jnp.float16:
+        # fp16 envelope (the reference is fp16-primary, fmha_api.cpp:136):
+        # v5e has no fp16 MXU mode and Mosaic does not lower f16 kernels,
+        # so fp16 is accepted via an exact upcast to f32 compute and cast
+        # back. bf16 is the native TPU performance path.
+        out = flash_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32),
+            causal=causal, softmax_scale=softmax_scale,
+            q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+            q_positions=q_positions, kv_positions=kv_positions,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
+            block_sizes=block_sizes, return_lse=return_lse,
+            interpret=interpret, layout=layout,
+        )
+        if return_lse:
+            return out[0].astype(jnp.float16), out[1]
+        return out.astype(jnp.float16)
+
     if layout == "bshd":
         b, sq, h, d = q.shape
         sk, h_kv = k.shape[1], k.shape[2]

@@ -154,3 +154,32 @@ def test_bwd_dq_alias_long_seq_mode(causal, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), atol=1e-5, err_msg=f"d{name}"
         )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fp16_envelope(causal):
+    """fp16 inputs (the reference's primary dtype, fmha_api.cpp:136) are
+    accepted via an exact f32 upcast (no fp16 MXU mode on TPU); outputs
+    and grads come back fp16 and match the fp32 reference to fp16
+    rounding."""
+    rng = np.random.default_rng(55)
+    b, s, h, d = 2, 257, 2, 64
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float16)
+    out = flash_attention(q, k, v, causal=causal)
+    assert out.dtype == jnp.float16
+    ref32, _ = _refs(q, k, v, causal=causal)
+    assert max_err(out.astype(jnp.float32), ref32) < 2e-3
+
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float16)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=causal).astype(jnp.float32)
+            * g.astype(jnp.float32)
+        )
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert all(x.dtype == jnp.float16 for x in grads)
+    assert all(
+        bool(jnp.all(jnp.isfinite(x.astype(jnp.float32)))) for x in grads
+    )
