@@ -45,15 +45,22 @@ DIAG_CHAINS = None
 
 
 def _tri_coords(t, nq):
-    """Invert the lexicographic lower-triangle enumeration: step ``t`` of
-    nq*(nq+1)/2 -> (iq, ik) with ik <= iq. Integer-only (branch-free sum of
-    compares against the row-start offsets r*(r+1)/2) so it is usable inside
-    BlockSpec index maps on the scalar core."""
+    """Invert the lower-triangle enumeration: step ``t`` of nq*(nq+1)/2
+    -> (iq, ik) with ik <= iq. Integer-only (branch-free sum of compares
+    against the row-start offsets r*(r+1)/2) so it is usable inside
+    BlockSpec index maps on the scalar core.
+
+    Within each row the DIAGONAL block comes FIRST (j=0 -> ik=iq, then
+    ik=0..iq-1): online-softmax merging is order-independent, and leading
+    with the masked diagonal lets its extra VPU work overlap the
+    following interior blocks' MXU streams instead of idling at the row
+    tail."""
     iq = jnp.int32(0)
     for r in range(1, nq):
         iq = iq + (t >= r * (r + 1) // 2).astype(jnp.int32)
-    ik = t - iq * (iq + 1) // 2
-    return iq, ik
+    j = t - iq * (iq + 1) // 2
+    ik = jnp.where(j == 0, iq, j - 1)
+    return iq, ik, j
 
 
 def _fwd_kernel(
@@ -93,10 +100,16 @@ def _fwd_kernel(
         # Triangular linearized causal grid: (b, h, t) covers ONLY the
         # executed lower-triangle blocks — no skipped grid steps, no dead
         # K/V prefetch. Requires nq == nk and bq == bk (self-attention).
-        iq, ik = _tri_coords(pl.program_id(2), num_q_blocks)
+        # jpos is the position within the row (0 = the diagonal block,
+        # which leads the row; see _tri_coords).
+        iq, ik, jpos = _tri_coords(pl.program_id(2), num_q_blocks)
+        is_first = jpos == 0
+        is_last = jpos == iq
     else:
         iq = pl.program_id(2)
         ik = pl.program_id(3)
+        is_first = ik == 0
+        is_last = None  # rectangular grids finalize at num_k_blocks - 1
     # program_id must be read at kernel top level (the CPU interpreter does
     # not substitute it inside pl.when branches).
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
@@ -110,7 +123,7 @@ def _fwd_kernel(
     _c_static = scale * 1.4426950408889634
     mask_underflows = DEFAULT_MASK_VALUE * _c_static <= -150.0
 
-    @pl.when(ik == 0)
+    @pl.when(is_first)
     def _init():
         # Finite init (not -inf) so alpha = exp(m_prev - m_next) never hits
         # the NaN-producing (-inf) - (-inf) on fully-masked rows.
@@ -384,7 +397,7 @@ def _fwd_kernel(
             # No mask component exists statically: single fast path.
             _compute(masked=False)
 
-    @pl.when((ik == iq) if tri_grid else (ik == num_k_blocks - 1))
+    @pl.when(is_last if tri_grid else (ik == num_k_blocks - 1))
     def _finalize():
         l = l_ref[:, 0:1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
