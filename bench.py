@@ -48,7 +48,7 @@ def _median_time(f, *args, iters=9, chain=24, vary=0):
     ts = []
     for i in range(iters):
         a = list(args)
-        a[vary] = a[vary] * (1.0 + 0.5 * i)  # real bf16 change
+        a[vary] = a[vary] * (1.25 + 0.5 * i)  # real bf16 change every rep
         t0 = time.perf_counter()
         np.asarray(g1(*a))
         t1 = time.perf_counter()
