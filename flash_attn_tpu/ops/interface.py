@@ -167,3 +167,20 @@ def flash_attn_func(
         qkv, cu_seqlens, max_s, dropout_p, softmax_scale, causal,
         return_attn_probs, **kwargs,
     )
+
+
+def _get_block_size(device=None, head_dim: int = 64, is_dropout: bool = False,
+                    seq_len: int = 4096):
+    """Parity shim for the reference's block-size mirror
+    (flash_attn/flash_attn_interface.py:8-14, used by its tests to decode
+    the S_dmask layout). The CUDA table keys on (arch, head_dim, dropout);
+    the TPU analog is the BlockSizes heuristic — returns
+    (block_q, block_k) as resolved for these parameters. ``device`` is
+    accepted for signature parity and ignored (JAX arrays carry their own
+    placement)."""
+    del device
+    bs = BlockSizes.choose(
+        seq_len_q=seq_len, seq_len_k=seq_len, head_dim=head_dim,
+        dropout=is_dropout,
+    )
+    return bs.block_q, bs.block_k
