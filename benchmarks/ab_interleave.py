@@ -46,6 +46,24 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, nk,
     def softmax_j(j, s):
         rows = slice(j * BQS, (j + 1) * BQS)
         sf = s.astype(jnp.float32)
+        if variant == "ml_col":
+            # column-shaped (bqs, 1) m/l state: no lane-replicated
+            # arithmetic (alpha exp2 on 1 lane instead of 128).
+            m_prev = m_ref[rows, 0:1]
+            l_prev = l_ref[rows, 0:1]
+            m_curr = jnp.max(sf, axis=1, keepdims=True) * c
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp2(m_prev - m_next)
+            pf = jnp.exp2(sf * c - m_next)
+            l_ref[rows, 0:1] = alpha * l_prev + jnp.sum(
+                pf, axis=1, keepdims=True)
+            m_ref[rows, 0:1] = m_next
+            p = pf.astype(v.dtype)
+            pv = jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc_ref[rows] = acc_ref[rows] * alpha + pv
+            return
         m_prev = m_ref[rows]
         l_prev = l_ref[rows]
         m_curr = jnp.max(sf, axis=1, keepdims=True) * c
@@ -125,7 +143,7 @@ def chained(f, n):
 
 def main():
     q, k, v = make_inputs()
-    variants = ["base", "s_bf16", "pipe2", "mega"]
+    variants = ["base", "ml_col", "sum_after"]
     CHAIN = 12
     fns = {}
     for name in variants:

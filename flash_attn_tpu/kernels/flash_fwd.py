@@ -198,16 +198,16 @@ def _fwd_kernel(
                     mask = mask & (rows_t >= cols_t)
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-            m_prev = m_ref[rows_sl]  # (bqs, NUM_LANES), lane-replicated
+            m_prev = m_ref[rows_sl]  # (bqs, 1) column state
             l_prev = l_ref[rows_sl]
             # exp2 trick (reference softmax.h:211-226): softmax_scale AND
             # log2(e) fold into one constant; m is tracked in the
             # log2-scaled domain via a cheap (bqs, 1) multiply, so the
             # score tile needs only an FMA + exp2 per element.
             m_curr = jnp.max(s, axis=1, keepdims=True) * c
-            m_next = jnp.maximum(m_prev, m_curr)  # (bqs, NUM_LANES)
+            m_next = jnp.maximum(m_prev, m_curr)  # (bqs, 1)
             alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s * c - m_next[:, 0:1])
+            p = jnp.exp2(s * c - m_next)
             if masked and (has_segments or not mask_underflows):
                 # Explicit zero for masked slots: a row fully masked in this
                 # block but valid in a *later* one (possible only with
@@ -242,7 +242,7 @@ def _fwd_kernel(
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha[:, 0:1] + pv
+            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha + pv
 
     def _compute_diag():
         """Diagonal-block specialization (causal, bq == bk, no segments /
@@ -293,7 +293,7 @@ def _fwd_kernel(
             m_curr = m_curr * c
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
-            p_diag = jnp.exp2(s_diag * c - m_next[:, 0:1])
+            p_diag = jnp.exp2(s_diag * c - m_next)
             l_curr = jnp.sum(p_diag, axis=1, keepdims=True)
             pv = jax.lax.dot_general(
                 p_diag.astype(v.dtype),
@@ -302,7 +302,7 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
             )
             if j > 0:
-                p_head = jnp.exp2(s_head * c - m_next[:, 0:1])
+                p_head = jnp.exp2(s_head * c - m_next)
                 l_curr = l_curr + jnp.sum(p_head, axis=1, keepdims=True)
                 pv = pv + jax.lax.dot_general(
                     p_head.astype(v.dtype),
@@ -312,7 +312,7 @@ def _fwd_kernel(
                 )
             l_ref[rows_sl] = alpha * l_prev + l_curr
             m_ref[rows_sl] = m_next
-            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha[:, 0:1] + pv
+            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha + pv
 
     # Static gate for the diagonal specialization: requires bq == bk so
     # that (should_run & needs_mask) implies iq == ik exactly, and the
@@ -399,14 +399,14 @@ def _fwd_kernel(
 
     @pl.when(is_last if tri_grid else (ik == num_k_blocks - 1))
     def _finalize():
-        l = l_ref[:, 0:1]
+        l = l_ref[...]  # (block_q, 1)
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         if p_drop > 0.0:
             l_inv = l_inv * (1.0 / (1.0 - p_drop))
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
         if save_lse:
-            m0 = m_ref[:, 0:1]  # log2-scaled domain: true max = m0 * ln2
-            l0 = l_ref[:, 0:1]
+            m0 = m_ref[...]  # log2-scaled domain: true max = m0 * ln2
+            l0 = l_ref[...]
             lse_col = jnp.where(
                 l0 == 0.0,
                 -jnp.inf,
@@ -572,8 +572,11 @@ def flash_attention_fwd(
             pl.BlockSpec((1, 1, bq, 1), q_index, memory_space=pltpu.VMEM)
         )
     scratch_shapes = [
-        pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
-        pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # l
+        # Column-shaped (bq, 1) m/l state: lane-replicated carries waste
+        # 128x the VPU arithmetic (alpha exp2 etc.); measured ~2% whole-
+        # kernel win (benchmarks/ab_interleave.py ml_col).
+        pltpu.VMEM((bq, 1), jnp.float32),  # m
+        pltpu.VMEM((bq, 1), jnp.float32),  # l
         pltpu.VMEM((bq, d), jnp.float32),  # acc
     ]
 
