@@ -323,7 +323,7 @@ def _bs_fwd_kernel(
             m_curr = jnp.max(s, axis=1, keepdims=True) * c
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp2(m_prev - m_next)
-            p = jnp.exp2(s * c - m_next[:, 0:1])
+            p = jnp.exp2(s * c - m_next)
             if masked:
                 # Sparse rows may be dead in this tile but live in a later
                 # one: exp2(DMV*c - DMV*c) = 1 would leak — always select.
@@ -346,7 +346,7 @@ def _bs_fwd_kernel(
                     p_drop,
                 )
                 p = jnp.where(keep, p, 0.0)
-            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha[:, 0:1] + (
+            acc_ref[rows_sl] = acc_ref[rows_sl] * alpha + (
                 jax.lax.dot_general(
                     p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -360,13 +360,13 @@ def _bs_fwd_kernel(
 
     @pl.when(j == max_kv - 1)
     def _finalize():
-        l = l_ref[:, 0:1]
+        l = l_ref[...]  # (block_q, 1)
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         if p_drop > 0.0:
             l_inv = l_inv * (1.0 / (1.0 - p_drop))
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
-        m0 = m_ref[:, 0:1]
-        l0 = l_ref[:, 0:1]
+        m0 = m_ref[...]
+        l0 = l_ref[...]
         lse_ref[0, 0] = jnp.where(
             l0 == 0.0,
             -jnp.inf,
@@ -465,8 +465,9 @@ def blocksparse_attention_fwd(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
-            pltpu.VMEM((bq, NUM_LANES), jnp.float32),
+            # Column-shaped m/l carries (see flash_fwd.py).
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
