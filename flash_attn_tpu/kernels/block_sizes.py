@@ -42,8 +42,12 @@ class BlockSizes:
     # as q_chains independent sub-q online-softmax chains whose QK^T dots
     # are all issued before any softmax math, letting the VPU softmax of
     # one chain overlap the MXU streams of the others (measured ~1.45x on
-    # v5e). Clamped at launch so block_q / q_chains stays a multiple of 128.
-    q_chains: int = 4
+    # v5e vs a single chain). Clamped at launch so block_q / q_chains stays
+    # a multiple of 128. With the column-shaped m/l carry, 2 chains
+    # measured best on interior blocks (512-row dots; fewer per-chain
+    # boundaries), while the causal DIAGONAL still prefers 8
+    # (q_chains_diag) for the finer causal skip.
+    q_chains: int = 2
     # Chain count on causal DIAGONAL blocks, where chain j only attends key
     # columns [0, (j+1)*block_q/q_chains_diag): finer chains skip more of
     # the upper triangle (waste 1/(2*chains)), and measured v5e prefers the
