@@ -25,7 +25,7 @@ def _readback(x):
     return np.asarray(jnp.sum(x[..., :1, :1]))
 
 
-def _median_time(f, *args, iters=9, chain=24, vary=0):
+def _median_time(f, *args, iters=13, chain=24, vary=0):
     """Robust per-call time on the axon tunnel (RTT ~27 ms, block_until_ready
     lies): run an unrolled chain of ``chain+1`` calls where each output feeds
     the next call's ``vary`` input (serialized, all-distinct data — immune to

@@ -15,7 +15,7 @@ from bench_dev import B, H, S, D, make_inputs
 import flash_attn_tpu.kernels.flash_fwd as FF
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
 
-BS = BlockSizes(block_q=1024, block_k=1024, q_chains=4)
+BS = BlockSizes(block_q=1024, block_k=1024, q_chains=2)
 
 
 def build(dch):
