@@ -63,6 +63,42 @@ def main():
         check("fwd+bwd grads + dropout regen", grads, q, k, v),
     ]
 
+    # Streamed-dq (aliased) backward equivalence vs the VMEM-scratch mode
+    # (compiled-only path; the interpreter cannot model the aliased RMW).
+    # Shapes chosen so every dq block is revisited across MANY kv steps
+    # (nq=4, nk=2 with the default bwd tiling) — exercising the cross-step
+    # accumulation and the causal row-transition redirect edge.
+    import flash_attn_tpu.kernels.flash_bwd as FB
+
+    s2 = 2048
+    qa = jnp.asarray(rng.standard_normal((1, s2, 2, 128)), jnp.bfloat16)
+    ka = jnp.asarray(rng.standard_normal((1, s2, 2, 128)), jnp.bfloat16)
+    va = jnp.asarray(rng.standard_normal((1, s2, 2, 128)), jnp.bfloat16)
+
+    def _grads_plain(q, k, v):
+        return jax.jit(jax.grad(
+            lambda a, b_, c: jnp.sum(
+                flash_attention(a, b_, c, causal=True).astype(jnp.float32)
+            ),
+            argnums=(0, 1, 2),
+        ))(q, k, v)
+
+    ref = jax.tree.map(np.asarray, _grads_plain(qa, ka, va))
+    saved = FB.DQ_SCRATCH_BYTES
+    try:
+        FB.DQ_SCRATCH_BYTES = 1  # force the aliased mode
+        jax.clear_caches()
+        got = jax.tree.map(np.asarray, _grads_plain(qa, ka, va))
+    finally:
+        FB.DQ_SCRATCH_BYTES = saved
+        jax.clear_caches()
+    err = max(
+        float(np.max(np.abs(a.astype(np.float32) - b.astype(np.float32))))
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got))
+    )
+    results.append(("dq-alias vs scratch grads (max err %.1e, tol 5e-3)" % err,
+                    err < 5e-3))
+
     dev = jax.devices()[0]
     lines = [
         "# On-device determinism check",

@@ -218,7 +218,6 @@ def _tile_mask(
     bounds_possible,
     causal,
     seg_refs,
-    kseg_slice=None,
 ):
     """(bqs, block_k) bool mask for one PARTIAL tile: per-cell row activity
     from the bitmap, refined with bounds / causal / segment masks."""

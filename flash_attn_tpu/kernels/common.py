@@ -56,3 +56,30 @@ def attention_mask(
     elif causal:
         mask = mask & (rows >= cols)
     return mask
+
+
+def classify_segment_block(qp_vec, kp_vec, qs_vec, ks_vec, *, causal,
+                           bounds_possible):
+    """Position-aware runtime block classification for the segment path,
+    shared by the fwd and bwd kernels.
+
+    Returns (live, uniform): ``live`` is False when every (q, k) pair in
+    the block is causally masked (max q_pos < min kv_pos — e.g. a
+    fully-future ring-attention shard, skipped entirely); ``uniform`` is
+    True when the block is provably mask-free (single shared non-padding
+    segment id, fully causally past, no bounds padding) and may run the
+    fast path. Conservative: any uncertainty returns uniform=False.
+    """
+    import jax.numpy as jnp
+
+    live = jnp.bool_(True)
+    if causal:
+        live = jnp.max(qp_vec) >= jnp.min(kp_vec)
+    seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
+    seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
+    uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
+    if bounds_possible:
+        uniform = jnp.bool_(False)
+    if causal:
+        uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
+    return live, uniform

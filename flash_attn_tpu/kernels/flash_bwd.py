@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.kernels import prng
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
+from flash_attn_tpu.kernels.common import classify_segment_block
 from flash_attn_tpu.kernels.common import NUM_LANES
 
 LOG2E = 1.4426950408889634
@@ -243,20 +244,10 @@ def _fused_kernel(
         # skip blocks where every pair is causally masked (fully-future
         # ring shards), run uniform fully-past same-segment blocks on the
         # mask-free fast path, full mask otherwise.
-        qp_vec = qpos_ref[0]
-        kp_vec = kpos_ref[0]
-        qs_vec = qseg_ref[0]
-        ks_vec = kseg_ref[0]
-        live = jnp.bool_(True)
-        if causal:
-            live = jnp.max(qp_vec) >= jnp.min(kp_vec)
-        seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
-        seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
-        uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
-        if bounds_possible:
-            uniform = jnp.bool_(False)
-        if causal:
-            uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
+        live, uniform = classify_segment_block(
+            qpos_ref[0], kpos_ref[0], qseg_ref[0], kseg_ref[0],
+            causal=causal, bounds_possible=bounds_possible,
+        )
         pl.when(live & uniform)(lambda: _compute(masked=False))
         pl.when(live & jnp.logical_not(uniform))(
             lambda: _compute(masked=True)
@@ -431,7 +422,12 @@ def flash_attention_bwd(
     # dq carry: VMEM scratch when (sq_pad, d) fp32 fits (~sq <= 8K at
     # d=128), else streamed through an input/output-aliased fp32 block
     # (long-context training; replaces the round-1 7-dot split path).
-    dq_alias = sq_pad * d * 4 > DQ_SCRATCH_BYTES
+    # Interpret mode: the interpreter's input_output_aliases are donation-
+    # only (input reads never see prior grid steps' writes), and its
+    # "VMEM" scratch is unbounded numpy — so the aliased streaming mode is
+    # compiled-only. On-device equivalence vs the scratch mode is checked
+    # once per round by benchmarks/determinism_check.py.
+    dq_alias = (not interpret) and sq_pad * d * 4 > DQ_SCRATCH_BYTES
     bq = min(block_sizes.block_q_dkv, sq_pad)
     bk = min(block_sizes.block_k_dkv, sk_pad)
     assert sq_pad % bq == 0 and sk_pad % bk == 0
@@ -439,7 +435,6 @@ def flash_attention_bwd(
     tensor_specs, seg_specs = _seq_specs(
         bq, bk, d, kv_major=True, causal=causal and not has_segments,
         group=group)
-    qi_spec = tensor_specs[0]  # q BlockSpec: reuse its (redirected) map
     kv_out_spec = pl.BlockSpec(
         (1, 1, bk, d), lambda b_, h_, x, y: (b_, h_, x, 0),
         memory_space=pltpu.VMEM,
@@ -449,9 +444,23 @@ def flash_attention_bwd(
     args = [*seed_args, q, k, v, dout, lse, di, *seg_args]
     aliases = {}
     if dq_alias:
+        # Skipped causal steps redirect the dq RMW to block 0 (an identity
+        # read-copy-write there is idempotent and its index can never
+        # repeat an adjacent ACTIVE step's: iq=0 is only active at ik=0,
+        # where no steps are skipped). Redirecting to first_running — the
+        # q spec's choice — is UNSAFE here: at a row transition it can
+        # equal the previous step's index, Pallas elides the dqin refetch,
+        # and the stale copy clobbers that block's fresh accumulation.
+        if causal and not has_segments:
+            def dq_index(b_, h_, x, y):
+                run = (y + 1) * bq - 1 >= x * bk
+                return (b_, h_, jax.lax.select(run, y, 0), 0)
+        else:
+            def dq_index(b_, h_, x, y):
+                return (b_, h_, y, 0)
         dq_in = jnp.zeros(q.shape, jnp.float32)
         dq_in_spec = pl.BlockSpec(
-            (1, 1, bq, d), qi_spec.index_map, memory_space=pltpu.VMEM)
+            (1, 1, bq, d), dq_index, memory_space=pltpu.VMEM)
         in_specs = in_specs + [dq_in_spec]
         aliases = {len(args): 0}
         args.append(dq_in)

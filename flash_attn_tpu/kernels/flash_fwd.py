@@ -33,6 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.kernels import prng
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
+from flash_attn_tpu.kernels.common import classify_segment_block
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
@@ -335,20 +336,10 @@ def _fwd_kernel(
         # ring attention), interior (uniform same-segment, fully past —
         # mask-free fast path), or boundary (full mask). Conservative: any
         # uncertainty falls back to masked=True.
-        qp_vec = qpos_ref[0]
-        kp_vec = kpos_ref[0]
-        qs_vec = qseg_ref[0]
-        ks_vec = kseg_ref[0]
-        live = jnp.bool_(True)
-        if causal:
-            live = jnp.max(qp_vec) >= jnp.min(kp_vec)
-        seg_lo = jnp.minimum(jnp.min(qs_vec), jnp.min(ks_vec))
-        seg_hi = jnp.maximum(jnp.max(qs_vec), jnp.max(ks_vec))
-        uniform = (seg_lo == seg_hi) & (seg_lo >= 0)
-        if bounds_possible:
-            uniform = jnp.bool_(False)
-        if causal:
-            uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
+        live, uniform = classify_segment_block(
+            qpos_ref[0], kpos_ref[0], qseg_ref[0], kseg_ref[0],
+            causal=causal, bounds_possible=bounds_possible,
+        )
         pl.when(live & uniform)(lambda: _compute(masked=False))
         pl.when(live & jnp.logical_not(uniform))(
             lambda: _compute(masked=True)

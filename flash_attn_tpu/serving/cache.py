@@ -325,14 +325,18 @@ def write_prompt(
             jax.ShapeDtypeStruct(cache.k_scales.shape, jnp.float32),
             jax.ShapeDtypeStruct(cache.v_scales.shape, jnp.float32),
         ]
-    # aliased cache inputs (fetched per touched page, overwritten)
+    # aliased cache inputs — never read by the kernel, so ANY memory
+    # space skips the pointless HBM->VMEM fetch of pages that are about
+    # to be fully overwritten (append_token, by contrast, genuinely
+    # reads its page for the row-select RMW)
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     n_in = len(args)
-    in_specs += [page_spec_dst, page_spec_dst]
+    in_specs += [any_spec, any_spec]
     args += [cache.k_pages, cache.v_pages]
     # +1: scalar-prefetch page_ids precedes tensor args in alias indexing
     aliases = {n_in + 1: 0, n_in + 2: 1}
     if quantized:
-        in_specs += [scale_spec_dst, scale_spec_dst]
+        in_specs += [any_spec, any_spec]
         args += [cache.k_scales, cache.v_scales]
         aliases[n_in + 3] = 2
         aliases[n_in + 4] = 3

@@ -205,7 +205,12 @@ class ServingEngine:
             return
 
         max_len = max(len(req.prompt) for _, req, _ in batch)
-        bucket = _round_up(max_len, 128)
+        # Clamp to the position-embedding table: a 128-rounded bucket may
+        # exceed it (e.g. max_pos=1000, prompt 950 -> bucket 1024 would
+        # crash the wpe broadcast); prefill handles any bucket length.
+        bucket = min(_round_up(max_len, 128),
+                     self.cfg.max_position_embeddings)
+        assert bucket >= max_len, (max_len, bucket)
         rows = _next_pow2(len(batch))
         ids = np.zeros((rows, bucket), np.int32)
         lens = np.zeros((rows,), np.int32)
