@@ -225,8 +225,9 @@ class ServingEngine:
         )
         # One fused dispatch writes every admitted sequence's pages for
         # every layer; rows beyond a prompt's pages target the reserved
-        # scratch page 0.
-        pages_per_bucket = bucket // self.page_size
+        # scratch page 0. Ceil: the clamped bucket need not be a
+        # page_size multiple (write_prompt zero-pads the tail page).
+        pages_per_bucket = -(-bucket // self.page_size)
         tbl = np.zeros((rows, pages_per_bucket), np.int32)
         for i, (_, req, pages) in enumerate(batch):
             tbl[i, : len(pages[:pages_per_bucket])] = pages[:pages_per_bucket]

@@ -202,3 +202,20 @@ def test_serving_engine_batched_admission_matches_reference():
                 [model_ids, jnp.asarray([[tok]], jnp.int32)], axis=1
             )
         assert by_id[i].generated == gen_ref, (i, by_id[i].generated, gen_ref)
+
+
+def test_engine_bucket_clamped_to_max_positions():
+    """A 128-rounded prefill bucket must clamp to max_position_embeddings
+    (e.g. max_pos=192 with a 150-token prompt must not build a 256 bucket)."""
+    cfg = GPT2Config.tiny(max_position_embeddings=192)
+    model = GPT2LMHeadModel(cfg)
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 32)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    engine = ServingEngine(
+        params, cfg, max_batch=2, num_pages=8, page_size=128, pages_per_seq=2,
+    )
+    prompt = list(rng.integers(0, cfg.vocab_size, size=150))
+    engine.submit(prompt, max_new_tokens=2)
+    finished = engine.run(max_steps=10)
+    assert len(finished) == 1 and len(finished[0].generated) == 2
