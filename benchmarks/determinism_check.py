@@ -111,7 +111,8 @@ def main():
     ]
     ok_all = True
     for name, ok in results:
-        lines.append(f"| {name} | {'bitwise identical' if ok else 'MISMATCH'} |")
+        word = "within tolerance" if "tol" in name else "bitwise identical"
+        lines.append(f"| {name} | {word if ok else 'MISMATCH'} |")
         ok_all &= ok
     lines.append("")
     out = os.path.join(os.path.dirname(__file__), "..", "DETERMINISM.md")
