@@ -138,7 +138,7 @@ class GPT2LMHeadModel(nn.Module):
     attn_impl: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, input_ids, deterministic=True):
+    def __call__(self, input_ids, deterministic=True, positions=None):
         cfg = self.config
         b, s = input_ids.shape
         wte = self.param(
@@ -153,7 +153,14 @@ class GPT2LMHeadModel(nn.Module):
             (cfg.max_position_embeddings, cfg.n_embd),
             cfg.param_dtype,
         )
-        x = wte[input_ids] + wpe[None, :s]
+        if positions is None:
+            pos_emb = wpe[None, :s]
+        else:
+            # Explicit (possibly permuted) positions — used by the
+            # zigzag sequence-parallel layout, where the global sequence
+            # is reordered before sharding (parallel/ring.py).
+            pos_emb = wpe[positions]
+        x = wte[input_ids] + pos_emb
         x = x.astype(cfg.dtype)
         if cfg.dropout > 0.0:
             x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
@@ -232,3 +239,116 @@ def make_sharded_model(cfg: GPT2Config, mesh: Mesh, interpret=None):
         return attn_train(q, k, v, dropout_seed=dropout_seed)
 
     return GPT2LMHeadModel(cfg, attn_impl=attn_impl)
+
+
+def cross_entropy_positionwise(logits, labels):
+    """Positionwise CE (labels already shifted by the caller; -100 =
+    ignore). Used by the zigzag sequence-parallel path, where the
+    sequence order is permuted so the in-model shift of
+    ``cross_entropy_loss`` would pair wrong positions."""
+    valid = labels != -100
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def zigzag_batch(input_ids, n_seq: int, pad_label: int = -100):
+    """Prepare a (input_ids, shifted labels, positions) triple in the
+    ZIGZAG layout for sequence-parallel training: labels are next-token
+    shifted in the ORIGINAL order first, then ids/labels/positions are
+    all permuted together, so the positionwise loss is exact."""
+    import numpy as np
+
+    from flash_attn_tpu.parallel.ring import zigzag_permutation
+
+    ids = jnp.asarray(input_ids)
+    b, s = ids.shape
+    perm = jnp.asarray(zigzag_permutation(s, n_seq))
+    labels = jnp.concatenate(
+        [ids[:, 1:], jnp.full((b, 1), pad_label, ids.dtype)], axis=1
+    )
+    positions = jnp.broadcast_to(perm[None], (b, s))
+    return ids[:, perm], labels[:, perm], positions
+
+
+def make_seq_parallel_model(
+    cfg: GPT2Config,
+    mesh: Mesh,
+    *,
+    seq_axis: str = "seq",
+    data_axis: str | None = "data",
+    interpret=None,
+):
+    """GPT-2 whose attention is ZIGZAG ring sequence parallelism over
+    ``seq_axis`` (activations sharded on the sequence dimension; the
+    position-wise layers partition under GSPMD automatically). Feed it
+    batches prepared with ``zigzag_batch`` and train with
+    ``cross_entropy_positionwise`` via ``make_seq_parallel_train_step``.
+    Composes with data parallelism over ``data_axis`` and multi-host
+    meshes (parallel/multihost.py) — a ring laid across hosts crosses
+    DCN on 2 hops per rotation.
+    """
+    from jax import shard_map
+
+    from flash_attn_tpu.parallel.ring import ring_flash_attention
+
+    qkv_spec = P(data_axis, seq_axis, None, None)
+
+    def _ring(q, k, v, seed):
+        out, _ = ring_flash_attention(
+            q, k, v, axis_name=seq_axis, causal=True, zigzag=True,
+            dropout_p=cfg.dropout, dropout_seed=seed,
+            interpret=interpret,
+        )
+        return out
+
+    def _ring_nodrop(q, k, v, seed):
+        del seed
+        out, _ = ring_flash_attention(
+            q, k, v, axis_name=seq_axis, causal=True, zigzag=True,
+            interpret=interpret,
+        )
+        return out
+
+    def _wrap(fn):
+        return shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(qkv_spec, qkv_spec, qkv_spec, P()),
+            out_specs=qkv_spec,
+            check_vma=False,
+        )
+
+    ring_train = _wrap(_ring)
+    ring_eval = _wrap(_ring_nodrop)
+
+    def attn_impl(q, k, v, dropout_seed=None):
+        if dropout_seed is None or cfg.dropout == 0.0:
+            return ring_eval(q, k, v, jnp.zeros((), jnp.uint32))
+        return ring_train(q, k, v, dropout_seed)
+
+    return GPT2LMHeadModel(cfg, attn_impl=attn_impl)
+
+
+def make_seq_parallel_train_step(
+    model: GPT2LMHeadModel, optimizer: optax.GradientTransformation
+):
+    """Train step for the zigzag sequence-parallel model: the batch must
+    carry pre-shifted, pre-permuted ids/labels/positions (zigzag_batch)."""
+
+    def loss_fn(params, batch, dropout_key):
+        rngs = {"dropout": dropout_key} if model.config.dropout > 0 else {}
+        logits = model.apply(
+            params, batch["input_ids"], deterministic=not rngs, rngs=rngs,
+            positions=batch["positions"],
+        )
+        return cross_entropy_positionwise(logits, batch["labels"])
+
+    def train_step(params, opt_state, batch, dropout_key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, dropout_key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
