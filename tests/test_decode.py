@@ -70,7 +70,7 @@ def test_paged_decode_matches_oracle(group):
             )
 
 
-@pytest.mark.parametrize("method", ["int8", "fp8_e4m3"])
+@pytest.mark.parametrize("method", ["int8", "fp8_e4m3", "fp8_e5m2"])
 def test_paged_decode_quantized(method):
     rng = np.random.default_rng(1)
     n_kv, d, page_size, num_pages = 2, 64, 128, 8
