@@ -219,3 +219,26 @@ def test_engine_bucket_clamped_to_max_positions():
     engine.submit(prompt, max_new_tokens=2)
     finished = engine.run(max_steps=10)
     assert len(finished) == 1 and len(finished[0].generated) == 2
+
+
+def test_serving_engine_quantized_kv():
+    """Continuous batching with an fp8 KV cache through the batched
+    admission path (quantized write_prompt inside the fused _write_all)."""
+    cfg, model, params = _setup()
+    engine = ServingEngine(
+        params, cfg, max_batch=2, num_pages=16, page_size=128,
+        pages_per_seq=2, kv_quantization="fp8_e4m3",
+    )
+    rng = np.random.default_rng(12)
+    prompts = [list(rng.integers(0, cfg.vocab_size, size=n)) for n in (18, 40)]
+    for p in prompts:
+        engine.submit(p, max_new_tokens=4)
+    finished = engine.run(max_steps=40)
+    assert len(finished) == 2
+    # fp8 logits drift slightly; tokens must at least be valid and the
+    # FIRST token (computed from the exact prefill) must match greedy ref.
+    for req, prompt in zip(sorted(finished, key=lambda r: r.seq_id), prompts):
+        assert len(req.generated) == 4
+        assert all(0 <= t < cfg.vocab_size for t in req.generated)
+        logits = model.apply(params, jnp.asarray(prompt, jnp.int32)[None])
+        assert req.generated[0] == int(jnp.argmax(logits[0, -1]))
