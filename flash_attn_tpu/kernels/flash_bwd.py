@@ -366,8 +366,15 @@ def flash_attention_bwd(
     dropout_p: float = 0.0,
     block_sizes: BlockSizes | None = None,
     interpret: bool = False,
+    dlse: jax.Array | None = None,  # (b, h, sq_pad) fp32 lse cotangent
 ):
     """Returns (dq, dk, dv) on the padded layout.
+
+    ``dlse``: optional cotangent of the forward's logsumexp output. Since
+    the kernel's dS uses the *pre-dropout* softmax P (ds = p*(dp - di)),
+    the exact extra term d(lse)/d(s) * g = g * p folds into the di
+    correction as di - g — no kernel change needed. Covers
+    differentiating through ``flash_attention(..., return_lse=True)``.
 
     GQA/MQA: k/v may have fewer heads than q; dk/dv are computed per
     *query* head by the kernels (kv blocks read via h // group index
@@ -398,6 +405,8 @@ def flash_attention_bwd(
     di = jnp.sum(
         out.astype(jnp.float32) * dout.astype(jnp.float32), axis=-1
     )[..., None]  # (b, h, sq_pad, 1)
+    if dlse is not None:
+        di = di - dlse.astype(jnp.float32).reshape(b, h, sq_pad, 1)
     lse = lse.astype(jnp.float32).reshape(b, h, sq_pad, 1)
 
     seed_args = []

@@ -124,6 +124,54 @@ def _core_bwd_vjp(cfg, residuals, dout):
 _flash_core.defvjp(_core_fwd_vjp, _core_bwd_vjp)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core_lse(cfg: _Config, q, k, v, seg, seed):
+    """(out, lse) variant that is differentiable through BOTH outputs.
+
+    The lse cotangent folds exactly into the backward's di correction
+    (see kernels/flash_bwd.py `dlse`), so gradients through
+    ``return_lse=True`` match the unfused oracle — the reference's
+    softmax_lse return (flash_attn_interface.py:17-26) was fwd-only.
+    """
+    return _core_fwd_impl(cfg, q, k, v, seg, seed)
+
+
+def _core_lse_fwd_vjp(cfg, q, k, v, seg, seed):
+    out, lse = _core_fwd_impl(cfg, q, k, v, seg, seed)
+    return (out, lse), (q, k, v, seg, seed, out, lse)
+
+
+def _core_lse_bwd_vjp(cfg, residuals, cotangents):
+    dout, dlse = cotangents
+    q, k, v, seg, seed, out, lse = residuals
+    qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
+    dq, dk, dv = flash_attention_bwd(
+        q,
+        k,
+        v,
+        out,
+        dout,
+        lse,
+        qpos,
+        kpos,
+        qseg,
+        kseg,
+        seed,
+        sq=cfg.sq,
+        sk=cfg.sk,
+        causal=cfg.causal,
+        softmax_scale=cfg.softmax_scale,
+        dropout_p=cfg.dropout_p,
+        block_sizes=cfg.block_sizes,
+        interpret=cfg.interpret,
+        dlse=dlse,
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_core_lse.defvjp(_core_lse_fwd_vjp, _core_lse_bwd_vjp)
+
+
 def flash_attention_bwd_bshd(
     q: jax.Array,  # (b, sq, h, d)
     k: jax.Array,  # (b, sk, h_kv, d)
@@ -409,9 +457,7 @@ def flash_attention(
         return out[:, :, :sq, :d]
 
     if return_lse:
-        # LSE consumers (e.g. ring attention) differentiate through the
-        # non-custom path is not supported; expose fwd-only here.
-        out, lse = _core_fwd_impl(cfg, qp, kp, vp, seg, seed)
+        out, lse = _flash_core_lse(cfg, qp, kp, vp, seg, seed)
         return unpack(out), lse[:, :, :sq]
 
     return unpack(_flash_core(cfg, qp, kp, vp, seg, seed))

@@ -132,18 +132,98 @@ def test_degenerate_fully_masked_rows():
     assert bool(jnp.all(jnp.isfinite(out[:, :64])))
 
 
-def test_bwd_dq_alias_is_compiled_only():
+def test_bwd_dq_alias_is_compiled_only(monkeypatch):
     """The streamed (input/output-aliased) dq mode must never be selected
     under interpret mode: the interpreter's aliased inputs do not observe
     prior grid steps' writes (donation-only semantics), so the RMW chain
-    would silently drop contributions. On-device equivalence vs the
-    scratch mode is validated once per round by
-    benchmarks/determinism_check.py (dq-alias vs scratch grads)."""
+    would silently drop contributions. Behavioral check: force the
+    size threshold to always trip (DQ_SCRATCH_BYTES = 1) and assert the
+    interpret-mode gradients still match the untouched scratch path —
+    i.e. alias mode was NOT selected despite exceeding the threshold.
+    On-device equivalence of the alias mode itself is swept per round by
+    benchmarks/determinism_check.py."""
     import flash_attn_tpu.kernels.flash_bwd as FB
-    import inspect
 
-    srctxt = inspect.getsource(FB.flash_attention_bwd)
-    assert "(not interpret) and sq_pad * d * 4 > DQ_SCRATCH_BYTES" in srctxt
+    rng = np.random.default_rng(77)
+    b, s, h, d = 1, 256, 2, 64
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    def grads():
+        loss = lambda q, k, v: jnp.sum(  # noqa: E731
+            flash_attention(q, k, v, causal=True) * g
+        )
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    ref = grads()
+    monkeypatch.setattr(FB, "DQ_SCRATCH_BYTES", 1)
+    forced = grads()
+    for a, e in zip(forced, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dropout_p", [0.0, 0.17])
+def test_return_lse_differentiable(causal, dropout_p):
+    """Grads through BOTH outputs of return_lse=True match the unfused
+    oracle — including a loss term that depends on the lse itself (the
+    lse cotangent folds into the di correction, kernels/flash_bwd.py).
+    The reference's softmax_lse return was fwd-only
+    (flash_attn_interface.py:17-26); this is strictly stronger."""
+    rng = np.random.default_rng(991)
+    b, s, h, d = 2, 257, 2, 64
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    gl = jnp.asarray(rng.standard_normal((b, h, s)), jnp.float32)
+
+    kw = dict(dropout_p=dropout_p)
+    if dropout_p > 0.0:
+        kw["dropout_seed"] = 123
+
+    def loss_kernel(q, k, v):
+        out, lse = flash_attention(q, k, v, causal=causal,
+                                   return_lse=True, **kw)
+        return jnp.sum(out * g) + jnp.sum(lse * gl)
+
+    def loss_ref(q, k, v):
+        qb, kb, vb = (x.astype(jnp.float32) for x in map(_to_bhsd, (q, k, v)))
+        lse = attention_lse_ref(qb, kb, vb, causal=causal)
+        if dropout_p > 0.0:
+            # Oracle under the kernel's own dropout mask: p is the
+            # pre-dropout softmax so the lse term is mask-independent;
+            # the out term uses the kernel mask for exact comparability.
+            from flash_attn_tpu.kernels import prng
+
+            keep = prng.dropout_mask_dense(
+                jnp.uint32(123), b, h, s, s, dropout_p
+            )
+            p = jnp.exp(
+                _scores(qb, kb, causal) - lse[..., None]
+            )
+            p = jnp.where(jnp.isfinite(lse[..., None]), p, 0.0)
+            p = jnp.where(keep, p, 0.0) / (1.0 - dropout_p)
+            out = jnp.einsum("bhqk,bhkd->bhqd", p, vb)
+        else:
+            out = attention_ref(qb, kb, vb, causal=causal)
+        return jnp.sum(out * _to_bhsd(g)) + jnp.sum(lse * gl)
+
+    got = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, e in zip("dq dk dv".split(), got, want):
+        err = max_err(a, e)
+        assert err < 2e-3, f"{name}: {err}"
+
+
+def _scores(qb, kb, causal):
+    d = qb.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", qb, kb) * jnp.float32(d**-0.5)
+    if causal:
+        sq, sk = qb.shape[-2], kb.shape[-2]
+        mask = jnp.tril(jnp.ones((sq, sk), bool))
+        s = jnp.where(mask, s, -jnp.inf)
+    return s
+
+
 
 
 @pytest.mark.parametrize("causal", [False, True])
