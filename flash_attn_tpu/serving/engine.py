@@ -164,6 +164,23 @@ class ServingEngine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt: list[int], max_new_tokens: int = 32) -> int:
+        # Validate capacity HERE, before any allocator state changes: a
+        # reject mid-_admit would leak peers' already-allocated pages.
+        limit = min(
+            self.cfg.max_position_embeddings,
+            self.pages_per_seq * self.page_size,
+        )
+        if not prompt:
+            raise ValueError("empty prompt")
+        # +1: room for at least the first generated token's KV slot.
+        if len(prompt) + 1 > limit:
+            raise ValueError(
+                f"prompt of {len(prompt)} tokens exceeds engine capacity "
+                f"{limit - 1} (min of max_position_embeddings="
+                f"{self.cfg.max_position_embeddings} and pages_per_seq*"
+                f"page_size={self.pages_per_seq * self.page_size}, less "
+                "one generated-token slot)"
+            )
         req = Request(self._next_id, list(prompt), max_new_tokens)
         self._next_id += 1
         self.pending.append(req)

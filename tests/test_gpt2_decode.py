@@ -242,3 +242,27 @@ def test_serving_engine_quantized_kv():
         assert all(0 <= t < cfg.vocab_size for t in req.generated)
         logits = model.apply(params, jnp.asarray(prompt, jnp.int32)[None])
         assert req.generated[0] == int(jnp.argmax(logits[0, -1]))
+
+
+def test_engine_submit_rejects_oversized_prompt():
+    """Capacity validation happens in submit(), BEFORE any allocator
+    state changes: a mid-_admit failure would leak peers' pages and lose
+    requests (advisor finding r2)."""
+    import pytest
+
+    cfg, model, params = _setup()
+    engine = ServingEngine(
+        params, cfg, max_batch=2, num_pages=32, page_size=128,
+        pages_per_seq=2,  # capacity = 256 tokens (incl. generated)
+    )
+    rng = np.random.default_rng(9)
+    ok = list(rng.integers(0, cfg.vocab_size, size=10))
+    with pytest.raises(ValueError, match="exceeds engine capacity"):
+        engine.submit(list(rng.integers(0, cfg.vocab_size, size=256)))
+    with pytest.raises(ValueError, match="empty prompt"):
+        engine.submit([])
+    # A rejected submit must not poison the engine: normal requests
+    # still admit and run through the same batch.
+    engine.submit(ok, max_new_tokens=3)
+    finished = engine.run(max_steps=50)
+    assert len(finished) == 1 and len(finished[0].generated) == 3
