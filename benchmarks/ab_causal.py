@@ -16,13 +16,15 @@ import flash_attn_tpu.kernels.flash_fwd as FF
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
 
 BS = BlockSizes(block_q=1024, block_k=1024, q_chains=4)
+BS_NODIAG = BlockSizes(block_q=1024, block_k=1024, q_chains=4,
+                       diag_specialization=False)
 
 
-def flash(q, k, v, causal):
+def flash(q, k, v, causal, bs=BS):
     out, _ = FF.flash_attention_fwd(
         q, k, v, None, None, None, None, None,
         sq=S, sk=S, causal=causal, softmax_scale=D ** -0.5,
-        block_sizes=BS, save_lse=False)
+        block_sizes=bs, save_lse=False)
     return out
 
 
@@ -42,17 +44,10 @@ def main():
     builders["matmul_only"] = functools.partial(run_matmul_only, bq=1024,
                                                 bk=1024)
     builders["dense"] = functools.partial(flash, causal=False)
-    FF.ENABLE_DIAG_SPECIALIZATION = True
     builders["causal_diag"] = jax.jit(functools.partial(flash, causal=True))
-
-    def causal_nodiag(q, k, v):
-        FF.ENABLE_DIAG_SPECIALIZATION = False
-        try:
-            return flash(q, k, v, True)
-        finally:
-            FF.ENABLE_DIAG_SPECIALIZATION = True
-
-    builders["causal_nodiag"] = causal_nodiag
+    builders["causal_nodiag"] = functools.partial(
+        flash, causal=True, bs=BS_NODIAG
+    )
 
     CHAIN = 12
     fns = {}

@@ -19,13 +19,14 @@ BS = BlockSizes(block_q=1024, block_k=1024, q_chains=2)
 
 
 def build(dch):
-    FF.DIAG_CHAINS = dch
+    import dataclasses
+    bs = dataclasses.replace(BS, q_chains_diag=dch)
 
     def flash(q, k, v):
         out, _ = FF.flash_attention_fwd(
             q, k, v, None, None, None, None, None,
             sq=S, sk=S, causal=True, softmax_scale=D ** -0.5,
-            block_sizes=BS, save_lse=False)
+            block_sizes=bs, save_lse=False)
         return out
 
     @jax.jit
@@ -50,7 +51,6 @@ def main():
         g1, gN, n = build(dch)
         np.asarray(g1(q, k, v)); np.asarray(gN(q, k, v))
         fns[dch] = (g1, gN, n)
-    FF.DIAG_CHAINS = None
     rounds = 7
     times = {d: [] for d in fns}
     for r in range(rounds):

@@ -54,10 +54,16 @@ class BlockSizes:
     # finest (8 at bq=1024) on the diagonal even though interior blocks
     # prefer 4. Clamped at launch like q_chains.
     q_chains_diag: int = 8
+    # Causal diagonal-block specialization (per-chain narrowed dots +
+    # static triangular mask). Config-surfaced (not a module global) so
+    # A/B harnesses get a fresh jit/Mosaic cache entry per setting.
+    diag_specialization: bool = True
 
     def __post_init__(self):
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
+            if f.name == "diag_specialization":
+                continue
             if f.name in ("q_chains", "q_chains_diag"):
                 if v < 1:
                     raise ValueError(f"{f.name}={v} must be >= 1")

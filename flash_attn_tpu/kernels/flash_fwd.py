@@ -37,12 +37,6 @@ from flash_attn_tpu.kernels.common import classify_segment_block
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
-# Dev toggle (benchmarks/ab_interleave.py): disable the diagonal-block
-# specialization to A/B it against the generic masked path.
-ENABLE_DIAG_SPECIALIZATION = True
-# Dev knob: sub-q chain count used on diagonal blocks (None = same as the
-# interior q_chains). More chains = finer causal skip but narrower dots.
-DIAG_CHAINS = None
 
 
 def _tri_coords(t, nq):
@@ -81,6 +75,7 @@ def _fwd_kernel(
     save_lse: bool,
     q_chains: int,
     diag_chains: int,
+    diag_specialization: bool,
     tri_grid: bool,
 ):
     idx = 0
@@ -256,7 +251,7 @@ def _fwd_kernel(
         fmha_fprop_kernel_1xN.h:302, at 16-row granularity) and the causal
         mask reduces to a STATIC (bqs, bqs) triangle on the last chunk —
         no per-block iota/add over the full tile."""
-        dch = DIAG_CHAINS or diag_chains
+        dch = diag_chains
         while block_q % (dch * 128) != 0 and dch > 1:
             dch -= 1
         bqd = block_q // dch
@@ -319,7 +314,7 @@ def _fwd_kernel(
     # that (should_run & needs_mask) implies iq == ik exactly, and the
     # underflow guarantee so masked slots vanish without a second select.
     use_diag = (
-        ENABLE_DIAG_SPECIALIZATION
+        diag_specialization
         and causal
         and not has_segments
         and not bounds_possible
@@ -588,6 +583,7 @@ def flash_attention_fwd(
         save_lse=save_lse,
         q_chains=q_chains,
         diag_chains=diag_chains,
+        diag_specialization=block_sizes.diag_specialization,
         tri_grid=tri_grid,
     )
 
