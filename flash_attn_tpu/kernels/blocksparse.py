@@ -52,6 +52,10 @@ BLOCK_K = COL_CELL
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 LOG2E = 1.4426950408889634
+# Elementwise partial-tile mask bank cap (HBM bytes). Above this the
+# layout skips the bank and kernels build masks in-kernel from the
+# per-cell rowmask (slower per partial tile but O(sq*ncells) memory).
+MASK_BANK_MAX_BYTES = 128 * 1024 * 1024
 
 
 def _round_up(x, m):
@@ -74,6 +78,16 @@ class BlockSparseLayout:
     q_full: jax.Array  # (nk_tiles, max_q) int32
     rowmask: jax.Array  # (sq_pad, ncell_pad) int32: 1 = 16x256 cell active
     causal: bool
+    # Precomputed elementwise mask bank for PARTIAL tiles (round 3): one
+    # (block_q, block_k) int8 slab per partial (q-block, kv-tile) pair
+    # with cell activity, causal, and kv bounds all baked at layout-build
+    # time — the kernel's per-tile mask becomes ONE load + compare
+    # instead of per-cell lane-selects + iota compares. None when the
+    # bank would exceed MASK_BANK_MAX_BYTES (kernels fall back to the
+    # in-kernel rowmask build).
+    mask_bank: jax.Array | None = None  # (n_banked, block_q, block_k) int8
+    kv_maskid: jax.Array | None = None  # (nq, max_kv) int32 bank ids
+    q_maskid: jax.Array | None = None  # (nk_tiles, max_q) int32 bank ids
 
     @property
     def max_kv(self):
@@ -149,21 +163,65 @@ def build_layout(
     full &= in_bounds[None, :]
     full &= blk
 
-    def index_lists(mat, fullmat):
+    # ---- elementwise mask bank for partial tiles (see BlockSparseLayout)
+    partial = blk & ~full  # (nq, nk_t)
+    n_banked = int(partial.sum())
+    bank_bytes = n_banked * block_q * block_k
+    bank = None
+    bank_id = {}
+    if 0 < bank_bytes <= MASK_BANK_MAX_BYTES:
+        bank = np.zeros((n_banked, block_q, block_k), np.int8)
+        rows_g = np.arange(block_q)
+        cols_g = np.arange(block_k)
+        for bidx, (qi, ki) in enumerate(zip(*np.nonzero(partial))):
+            bank_id[(int(qi), int(ki))] = bidx
+            cell = bm[
+                qi * rows_per_block : (qi + 1) * rows_per_block,
+                ki * cells : (ki + 1) * cells,
+            ]
+            m = np.repeat(np.repeat(cell, ROW_CELL, 0), COL_CELL, 1)
+            r_abs = qi * block_q + rows_g
+            c_abs = ki * block_k + cols_g
+            if causal:
+                m = m & (r_abs[:, None] >= c_abs[None, :])
+            m = m & (c_abs < sk)[None, :]
+            bank[bidx] = m
+
+    def index_lists(mat, fullmat, pair_key):
+        """Per row of ``mat``: active column ids ordered PARTIAL-FIRST
+        (masked tiles lead the row — their extra VPU work overlaps the
+        following full tiles' MXU streams, and all trailing full/tail
+        slots then share one mask-bank id so Pallas elides the mask
+        refetch), plus counts, FULL flags, and bank ids."""
         counts = mat.sum(axis=1).astype(np.int32)
         max_n = max(int(counts.max()), 1)
         idx = np.zeros((mat.shape[0], max_n), np.int32)
         flg = np.zeros((mat.shape[0], max_n), np.int32)
+        mid = np.zeros((mat.shape[0], max_n), np.int32)
         for i in range(mat.shape[0]):
             active = np.nonzero(mat[i])[0]
-            if len(active):
-                idx[i, : len(active)] = active
-                idx[i, len(active):] = active[-1]  # repeat: no extra DMA
-                flg[i, : len(active)] = fullmat[i, active]
-        return jnp.asarray(idx), jnp.asarray(counts), jnp.asarray(flg)
+            if not len(active):
+                continue
+            is_full = fullmat[i, active].astype(bool)
+            active = np.concatenate([active[~is_full], active[is_full]])
+            idx[i, : len(active)] = active
+            idx[i, len(active):] = active[-1]  # repeat: no extra DMA
+            flg[i, : len(active)] = fullmat[i, active]
+            last = 0
+            for j, t in enumerate(active):
+                key = pair_key(i, int(t))
+                last = bank_id.get(key, last)
+                mid[i, j] = last
+            mid[i, len(active):] = last
+        return (jnp.asarray(idx), jnp.asarray(counts), jnp.asarray(flg),
+                jnp.asarray(mid))
 
-    kv_indices, kv_counts, kv_full = index_lists(blk, full)
-    q_indices, q_counts, q_full = index_lists(blk.T, full.T)
+    kv_indices, kv_counts, kv_full, kv_maskid = index_lists(
+        blk, full, lambda i, t: (i, t)
+    )
+    q_indices, q_counts, q_full, q_maskid = index_lists(
+        blk.T, full.T, lambda i, t: (t, i)
+    )
 
     # per-row x per-col-cell activity map, lanes padded to a 128 multiple
     ncell_pad = _round_up(max(ncells, 1), NUM_LANES)
@@ -184,6 +242,9 @@ def build_layout(
         q_full=q_full,
         rowmask=jnp.asarray(rowmask),
         causal=causal,
+        mask_bank=None if bank is None else jnp.asarray(bank),
+        kv_maskid=None if bank is None else kv_maskid,
+        q_maskid=None if bank is None else q_maskid,
     )
 
 
@@ -242,11 +303,15 @@ def _tile_mask(
         rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
         mask = mask & (rows >= cols)
     if seg_refs is not None:
-        qseg_ref, kseg_ref = seg_refs
-        qs = qseg_ref[0][rows_sl][:, None]
-        ks = kseg_ref[0][None, :]
-        mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
+        mask = mask & _segment_mask(seg_refs, rows_sl)
     return mask
+
+
+def _segment_mask(seg_refs, rows_sl, *_):
+    qseg_ref, kseg_ref = seg_refs
+    qs = qseg_ref[0][rows_sl][:, None]
+    ks = kseg_ref[0][None, :]
+    return (qs == ks) & (ks >= 0) & (qs >= 0)
 
 
 def _bs_fwd_kernel(
@@ -265,12 +330,15 @@ def _bs_fwd_kernel(
     p_drop: float,
     num_heads: int,
     chains: int,
+    use_bank: bool,
 ):
     idx = 0
+    if use_bank:
+        idx += 1  # 4th scalar-prefetch ref (maskid) — index-map only
     if p_drop > 0.0:
         seed_ref = refs[idx]
         idx += 1
-    q_ref, k_ref, v_ref, rowmask_ref = refs[idx : idx + 4]
+    q_ref, k_ref, v_ref, mask_src_ref = refs[idx : idx + 4]
     idx += 4
     seg_refs = None
     if has_segments:
@@ -297,6 +365,11 @@ def _bs_fwd_kernel(
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]
         c = jnp.float32(scale * LOG2E)
+        bank_tile = None
+        if masked and use_bank:
+            # One load + compare: activity, causal, and bounds were all
+            # baked into the int8 bank at layout-build time.
+            bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
         # Phase 1: all chains' QK^T first (independent MXU streams; the
         # dense kernel's interleave — flash_fwd.py).
         ss = []
@@ -311,11 +384,19 @@ def _bs_fwd_kernel(
             s = ss[jc]
             mask = None
             if masked:
-                mask = _tile_mask(
-                    rowmask_ref[...], rows_sl, cell0, row0, col0,
-                    (bqs, block_k), sk=sk, bounds_possible=bounds_possible,
-                    causal=causal, seg_refs=seg_refs,
-                )
+                if use_bank:
+                    mask = bank_tile[rows_sl]
+                    if seg_refs is not None:
+                        mask = mask & _segment_mask(
+                            seg_refs, rows_sl, bqs, block_k
+                        )
+                else:
+                    mask = _tile_mask(
+                        mask_src_ref[...], rows_sl, cell0, row0, col0,
+                        (bqs, block_k), sk=sk,
+                        bounds_possible=bounds_possible,
+                        causal=causal, seg_refs=seg_refs,
+                    )
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
             m_prev = m_ref[rows_sl]
             l_prev = l_ref[rows_sl]
@@ -400,6 +481,7 @@ def blocksparse_attention_fwd(
     while bq % (chains * 128) != 0:
         chains -= 1
 
+    use_bank = layout.mask_bank is not None
     in_specs = []
     args = []
     if p_drop > 0.0:
@@ -407,38 +489,54 @@ def blocksparse_attention_fwd(
             pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
         )
         args.append(dropout_seed.reshape(1, 1).astype(jnp.uint32))
+    # Index maps take (grid..., *scalar_prefetch_refs); *rest absorbs the
+    # optional 4th (maskid) prefetch array.
     in_specs += [
         pl.BlockSpec(
             (1, 1, bq, d),
-            lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0),
+            lambda b_, h_, iq, j, idx, *rest: (b_, h_, iq, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1, 1, bk, d),
-            lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, idx[iq, j], 0),
+            lambda b_, h_, iq, j, idx, *rest: (b_, h_, idx[iq, j], 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1, 1, bk, d),
-            lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, idx[iq, j], 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (bq, layout.rowmask.shape[1]),
-            lambda b_, h_, iq, j, idx, cnt, flg: (iq, 0),
+            lambda b_, h_, iq, j, idx, *rest: (b_, h_, idx[iq, j], 0),
             memory_space=pltpu.VMEM,
         ),
     ]
-    args += [q, k, v, layout.rowmask]
+    if use_bank:
+        # Partial-first row order: every trailing full/tail slot repeats
+        # the last partial's bank id, so Pallas elides this fetch there.
+        in_specs.append(
+            pl.BlockSpec(
+                (1, bq, bk),
+                lambda b_, h_, iq, j, idx, cnt, flg, mid: (mid[iq, j], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args += [q, k, v, layout.mask_bank]
+    else:
+        in_specs.append(
+            pl.BlockSpec(
+                (bq, layout.rowmask.shape[1]),
+                lambda b_, h_, iq, j, idx, *rest: (iq, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args += [q, k, v, layout.rowmask]
     if has_segments:
         in_specs += [
             pl.BlockSpec(
-                (1, bq), lambda b_, h_, iq, j, idx, cnt, flg: (b_, iq),
+                (1, bq), lambda b_, h_, iq, j, idx, *rest: (b_, iq),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bk),
-                lambda b_, h_, iq, j, idx, cnt, flg: (b_, idx[iq, j]),
+                lambda b_, h_, iq, j, idx, *rest: (b_, idx[iq, j]),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -447,19 +545,22 @@ def blocksparse_attention_fwd(
             kv_segment_ids.astype(jnp.int32),
         ]
 
+    prefetch = [layout.kv_indices, layout.kv_counts, layout.kv_full]
+    if use_bank:
+        prefetch.append(layout.kv_maskid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=len(prefetch),
         grid=(b, h, nq, max_kv),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, 1, bq, d),
-                lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0),
+                lambda b_, h_, iq, j, idx, *rest: (b_, h_, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, bq, 1),
-                lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0),
+                lambda b_, h_, iq, j, idx, *rest: (b_, h_, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -483,6 +584,7 @@ def blocksparse_attention_fwd(
         p_drop=p_drop,
         num_heads=h,
         chains=chains,
+        use_bank=use_bank,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -495,7 +597,7 @@ def blocksparse_attention_fwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layout.kv_indices, layout.kv_counts, layout.kv_full, *args)
+    )(*prefetch, *args)
     return out, lse.reshape(b, h, sq_pad)
 
 
@@ -515,12 +617,15 @@ def _bs_dkv_kernel(
     p_drop: float,
     num_heads: int,
     chains: int,
+    use_bank: bool,
 ):
     idx = 0
+    if use_bank:
+        idx += 1  # 4th scalar-prefetch ref (maskid) — index-map only
     if p_drop > 0.0:
         seed_ref = refs[idx]
         idx += 1
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, rowmask_ref = refs[idx : idx + 7]
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_src_ref = refs[idx : idx + 7]
     idx += 7
     seg_refs = None
     if has_segments:
@@ -548,6 +653,9 @@ def _bs_dkv_kernel(
         c = jnp.float32(scale * LOG2E)
         lse_col = lse_ref[0, 0]  # (block_q, 1) packed
         di_full = di_ref[0, 0]
+        bank_tile = None
+        if masked and use_bank:
+            bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
         # Chains processed sequentially (dot -> math per chain) to keep one
         # chain's score/dp tiles live at a time (VMEM; bwd has 5 dots per
         # chain to overlap with anyway).
@@ -566,11 +674,17 @@ def _bs_dkv_kernel(
             di_col = di_full[rows_sl]
             p = jnp.exp2(s * c - lse2)
             if masked:
-                mask = _tile_mask(
-                    rowmask_ref[...], rows_sl, cell0, row0, col0,
-                    (bqs, block_k), sk=sk, bounds_possible=bounds_possible,
-                    causal=causal, seg_refs=seg_refs,
-                )
+                if use_bank:
+                    mask = bank_tile[rows_sl]
+                    if seg_refs is not None:
+                        mask = mask & _segment_mask(seg_refs, rows_sl)
+                else:
+                    mask = _tile_mask(
+                        mask_src_ref[...], rows_sl, cell0, row0, col0,
+                        (bqs, block_k), sk=sk,
+                        bounds_possible=bounds_possible,
+                        causal=causal, seg_refs=seg_refs,
+                    )
                 p = jnp.where(mask, p, 0.0)
             if p_drop > 0.0:
                 rows_v = (
@@ -627,12 +741,15 @@ def _bs_dq_kernel(
     p_drop: float,
     num_heads: int,
     chains: int,
+    use_bank: bool,
 ):
     idx = 0
+    if use_bank:
+        idx += 1  # 4th scalar-prefetch ref (maskid) — index-map only
     if p_drop > 0.0:
         seed_ref = refs[idx]
         idx += 1
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, rowmask_ref = refs[idx : idx + 7]
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_src_ref = refs[idx : idx + 7]
     idx += 7
     seg_refs = None
     if has_segments:
@@ -659,6 +776,9 @@ def _bs_dq_kernel(
         c = jnp.float32(scale * LOG2E)
         lse_col = lse_ref[0, 0]
         di_full = di_ref[0, 0]
+        bank_tile = None
+        if masked and use_bank:
+            bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
         for jc in range(chains):
             rows_sl = slice(jc * bqs, (jc + 1) * bqs)
             row0 = iq * block_q + jc * bqs
@@ -674,11 +794,17 @@ def _bs_dq_kernel(
             di_col = di_full[rows_sl]
             p = jnp.exp2(s * c - lse2)
             if masked:
-                mask = _tile_mask(
-                    rowmask_ref[...], rows_sl, cell0, row0, col0,
-                    (bqs, block_k), sk=sk, bounds_possible=bounds_possible,
-                    causal=causal, seg_refs=seg_refs,
-                )
+                if use_bank:
+                    mask = bank_tile[rows_sl]
+                    if seg_refs is not None:
+                        mask = mask & _segment_mask(seg_refs, rows_sl)
+                else:
+                    mask = _tile_mask(
+                        mask_src_ref[...], rows_sl, cell0, row0, col0,
+                        (bqs, block_k), sk=sk,
+                        bounds_possible=bounds_possible,
+                        causal=causal, seg_refs=seg_refs,
+                    )
                 p = jnp.where(mask, p, 0.0)
             if p_drop > 0.0:
                 rows_v = (
@@ -764,33 +890,42 @@ def blocksparse_attention_bwd(
             pl.BlockSpec((1, 1, bq, 1), qmap, memory_space=pltpu.VMEM),  # di
         ]
 
+    use_bank = layout.mask_bank is not None
     common = dict(
         sk=sk, sk_pad=sk_pad, block_q=bq, block_k=bk, causal=layout.causal,
         has_segments=has_segments, scale=float(softmax_scale),
-        p_drop=p_drop, num_heads=h, chains=chains,
+        p_drop=p_drop, num_heads=h, chains=chains, use_bank=use_bank,
     )
 
     # ---- dKV: grid (b, h, nk_t, max_q); q blocks indexed via q_indices ----
-    qmap = lambda b_, h_, ik, j, idx, cnt, flg: (b_, h_, idx[ik, j], 0)  # noqa: E731
-    kmap = lambda b_, h_, ik, j, idx, cnt, flg: (b_, h_, ik, 0)  # noqa: E731
-    in_specs = seed_specs + tensor_specs(qmap, kmap) + [
-        pl.BlockSpec(
-            (bq, ncol),
-            lambda b_, h_, ik, j, idx, cnt, flg: (idx[ik, j], 0),
+    qmap = lambda b_, h_, ik, j, idx, *rest: (b_, h_, idx[ik, j], 0)  # noqa: E731
+    kmap = lambda b_, h_, ik, j, idx, *rest: (b_, h_, ik, 0)  # noqa: E731
+    if use_bank:
+        mask_spec = pl.BlockSpec(
+            (1, bq, bk),
+            lambda b_, h_, ik, j, idx, cnt, flg, mid: (mid[ik, j], 0, 0),
             memory_space=pltpu.VMEM,
         )
-    ]
-    args = seed_args + [q, k, v, dout, lse4, di, layout.rowmask]
+        mask_arg = layout.mask_bank
+    else:
+        mask_spec = pl.BlockSpec(
+            (bq, ncol),
+            lambda b_, h_, ik, j, idx, *rest: (idx[ik, j], 0),
+            memory_space=pltpu.VMEM,
+        )
+        mask_arg = layout.rowmask
+    in_specs = seed_specs + tensor_specs(qmap, kmap) + [mask_spec]
+    args = seed_args + [q, k, v, dout, lse4, di, mask_arg]
     if has_segments:
         in_specs += [
             pl.BlockSpec(
                 (1, bq),
-                lambda b_, h_, ik, j, idx, cnt, flg: (b_, idx[ik, j]),
+                lambda b_, h_, ik, j, idx, *rest: (b_, idx[ik, j]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bk),
-                lambda b_, h_, ik, j, idx, cnt, flg: (b_, ik),
+                lambda b_, h_, ik, j, idx, *rest: (b_, ik),
                 memory_space=pltpu.VMEM,
             ),
         ]
@@ -799,13 +934,16 @@ def blocksparse_attention_bwd(
         ]
     kv_out = pl.BlockSpec(
         (1, 1, bk, d),
-        lambda b_, h_, ik, j, idx, cnt, flg: (b_, h_, ik, 0),
+        lambda b_, h_, ik, j, idx, *rest: (b_, h_, ik, 0),
         memory_space=pltpu.VMEM,
     )
+    prefetch = [layout.q_indices, layout.q_counts, layout.q_full]
+    if use_bank:
+        prefetch.append(layout.q_maskid)
     dk, dv = pl.pallas_call(
         functools.partial(_bs_dkv_kernel, max_q=layout.max_q, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=len(prefetch),
             grid=(b, h, nk_t, layout.max_q),
             in_specs=in_specs,
             out_specs=[kv_out, kv_out],
@@ -822,44 +960,53 @@ def blocksparse_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layout.q_indices, layout.q_counts, layout.q_full, *args)
+    )(*prefetch, *args)
 
     # ---- dQ: grid (b, h, nq, max_kv) ----
-    qmap = lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0)  # noqa: E731
-    kmap = lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, idx[iq, j], 0)  # noqa: E731
-    in_specs = seed_specs + tensor_specs(qmap, kmap) + [
-        pl.BlockSpec(
-            (bq, ncol),
-            lambda b_, h_, iq, j, idx, cnt, flg: (iq, 0),
+    qmap = lambda b_, h_, iq, j, idx, *rest: (b_, h_, iq, 0)  # noqa: E731
+    kmap = lambda b_, h_, iq, j, idx, *rest: (b_, h_, idx[iq, j], 0)  # noqa: E731
+    if use_bank:
+        mask_spec = pl.BlockSpec(
+            (1, bq, bk),
+            lambda b_, h_, iq, j, idx, cnt, flg, mid: (mid[iq, j], 0, 0),
             memory_space=pltpu.VMEM,
         )
-    ]
-    args = seed_args + [q, k, v, dout, lse4, di, layout.rowmask]
+    else:
+        mask_spec = pl.BlockSpec(
+            (bq, ncol),
+            lambda b_, h_, iq, j, idx, *rest: (iq, 0),
+            memory_space=pltpu.VMEM,
+        )
+    in_specs = seed_specs + tensor_specs(qmap, kmap) + [mask_spec]
+    args = seed_args + [q, k, v, dout, lse4, di, mask_arg]
     if has_segments:
         in_specs += [
             pl.BlockSpec(
                 (1, bq),
-                lambda b_, h_, iq, j, idx, cnt, flg: (b_, iq),
+                lambda b_, h_, iq, j, idx, *rest: (b_, iq),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, bk),
-                lambda b_, h_, iq, j, idx, cnt, flg: (b_, idx[iq, j]),
+                lambda b_, h_, iq, j, idx, *rest: (b_, idx[iq, j]),
                 memory_space=pltpu.VMEM,
             ),
         ]
         args += [
             q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32)
         ]
+    prefetch = [layout.kv_indices, layout.kv_counts, layout.kv_full]
+    if use_bank:
+        prefetch.append(layout.kv_maskid)
     dq = pl.pallas_call(
         functools.partial(_bs_dq_kernel, max_kv=layout.max_kv, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=len(prefetch),
             grid=(b, h, nq, layout.max_kv),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, bq, d),
-                lambda b_, h_, iq, j, idx, cnt, flg: (b_, h_, iq, 0),
+                lambda b_, h_, iq, j, idx, *rest: (b_, h_, iq, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
@@ -869,5 +1016,5 @@ def blocksparse_attention_bwd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(layout.kv_indices, layout.kv_counts, layout.kv_full, *args)
+    )(*prefetch, *args)
     return dq, dk, dv

@@ -169,3 +169,37 @@ def test_blocksparse_mha_module():
     out = mha.apply(params, x)
     assert out.shape == (b, s, e)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_mask_bank_vs_rowmask_fallback(monkeypatch):
+    """The precomputed elementwise mask bank and the in-kernel rowmask
+    build are two implementations of the same mask; force the fallback
+    (bank cap = 0) and assert identical fwd outputs and grads."""
+    import flash_attn_tpu.kernels.blocksparse as BS
+
+    rng = np.random.default_rng(11)
+    b, h, d, s = 1, 2, 64, 512
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    bm = _rand_mask(rng, s, s)
+
+    def run():
+        layout = build_layout(bm, sq=s, sk=s, block_q=256, block_k=256,
+                              causal=True)
+        def loss(q, k, v):
+            return jnp.sum(
+                blocksparse_attention(q, k, v, bm, causal=True,
+                                      block_q=256, block_k=256) * g)
+        out = blocksparse_attention(q, k, v, bm, causal=True,
+                                    block_q=256, block_k=256)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return layout, out, grads
+
+    layout_bank, out_bank, g_bank = run()
+    assert layout_bank.mask_bank is not None
+    monkeypatch.setattr(BS, "MASK_BANK_MAX_BYTES", 0)
+    layout_fb, out_fb, g_fb = run()
+    assert layout_fb.mask_bank is None
+    np.testing.assert_array_equal(np.asarray(out_bank), np.asarray(out_fb))
+    for a, e in zip(g_bank, g_fb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
