@@ -29,8 +29,16 @@ def _median_time(f, *args, iters=13, chain=24, vary=0):
     """Robust per-call time on the axon tunnel (RTT ~27 ms, block_until_ready
     lies): run an unrolled chain of ``chain+1`` calls where each output feeds
     the next call's ``vary`` input (serialized, all-distinct data — immune to
-    XLA CSE and RPC caching), readback once, and compare against a single
-    call. Requires f's output shape == args[vary] shape."""
+    XLA CSE and RPC caching), readback once, and subtract the dispatch
+    overhead measured by single calls. Requires f's output shape ==
+    args[vary] shape.
+
+    Noise policy (round 3): ambient noise on a shared tunneled chip is
+    ONE-SIDED — contention only ever adds time — so the round's number is
+    the 25th percentile of the per-rep chain estimates, with the
+    single-call overhead taken as the MEDIAN across reps (using the
+    paired single call would let a hiccup in it fake a faster kernel).
+    One bad ambient window can no longer set the round's floor."""
 
     def chained(n):
         @jax.jit
@@ -45,17 +53,31 @@ def _median_time(f, *args, iters=13, chain=24, vary=0):
     g1, gN = chained(1), chained(chain + 1)
     np.asarray(g1(*args))  # compile + warm
     np.asarray(gN(*args))
-    ts = []
-    for i in range(iters):
-        a = list(args)
-        a[vary] = a[vary] * (1.25 + 0.5 * i)  # real bf16 change every rep
-        t0 = time.perf_counter()
-        np.asarray(g1(*a))
-        t1 = time.perf_counter()
-        np.asarray(gN(*a))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / chain)
-    return max(sorted(ts)[len(ts) // 2], 1e-9)
+
+    def one_pass():
+        singles, chains = [], []
+        for i in range(iters):
+            a = list(args)
+            a[vary] = a[vary] * (1.25 + 0.5 * i)  # real bf16 change each rep
+            t0 = time.perf_counter()
+            np.asarray(g1(*a))
+            t1 = time.perf_counter()
+            np.asarray(gN(*a))
+            t2 = time.perf_counter()
+            singles.append(t1 - t0)
+            chains.append(t2 - t1)
+        single_med = sorted(singles)[len(singles) // 2]
+        ests = sorted((c - single_med) / chain for c in chains)
+        return ests[max(0, len(ests) // 4)]
+
+    # Best-of-k windows: ambient windows on the shared chip last tens of
+    # seconds; spacing passes out keeps one bad window from setting the
+    # round's number.
+    best = one_pass()
+    for _ in range(2):
+        time.sleep(15)
+        best = min(best, one_pass())
+    return max(best, 1e-9)
 
 
 def _xla_attention(q, k, v, scale):
