@@ -10,7 +10,9 @@ Caveat: this remote-tunneled chip adds large fixed per-op overheads inside
 device loops (an argmax alone measures ~1.5 ms/iteration), so absolute
 tokens/s here underestimates a directly-attached TPU.
 
-Usage: python benchmarks/benchmark_decode.py [--quant fp8_e4m3]
+Usage: python benchmarks/benchmark_decode.py [--write-md]
+  --write-md also records the round artifact SERVING.md (north-star
+  metrics table: decode tokens/s per KV dtype, p50/p99 TTFT).
 """
 
 import argparse
@@ -35,7 +37,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--prompt", type=int, default=512)
     ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--write-md", action="store_true")
     args = ap.parse_args()
+    results = {}
 
     cfg = GPT2Config(
         vocab_size=50257, n_layer=12, n_head=12, n_embd=768,
@@ -59,14 +63,21 @@ def main():
     logits, ks, vs = pf(ids)
     np.asarray(logits[:1, :1])  # warm/compile
     ts = []
-    for i in range(9):
+    for i in range(15):
         ids_i = (ids + i) % cfg.vocab_size
         t0 = time.perf_counter()
         logits, ks, vs = pf(ids_i)
         np.asarray(logits[:1, :1])
         ts.append(time.perf_counter() - t0)
-    ttft = sorted(ts)[len(ts) // 2]
-    print(f"p50 TTFT (b={b}, prompt={s}, GPT-2 small): {ttft * 1e3:.1f} ms")
+    ts.sort()
+    ttft = ts[len(ts) // 2]
+    ttft99 = ts[min(len(ts) - 1, int(len(ts) * 0.99))]
+    results["prefill_ttft_p50_ms"] = ttft * 1e3
+    results["prefill_ttft_p99_ms"] = ttft99 * 1e3
+    print(
+        f"TTFT (b={b}, prompt={s}, GPT-2 small): "
+        f"p50 {ttft * 1e3:.1f} ms, p99 {ttft99 * 1e3:.1f} ms"
+    )
 
     # --- multi-admission TTFT through the real engine (batched bucketed
     # prefill + page-granular aliased write_prompt). One engine instance:
@@ -84,7 +95,7 @@ def main():
             eng.submit(list(base_prompt), max_new_tokens=1)
         eng.step()
         ts = []
-        for i in range(5):
+        for i in range(9):
             prompts = [
                 list((base_prompt + i + j) % cfg.vocab_size)
                 for j in range(n_admit)
@@ -95,11 +106,17 @@ def main():
             eng.step()  # admit: batched prefill + page writes + 1st token
             t1 = time.perf_counter()
             ts.append(t1 - t0)
-        med = sorted(ts)[len(ts) // 2]
+        ts.sort()
+        med = ts[len(ts) // 2]
+        p99 = ts[min(len(ts) - 1, int(len(ts) * 0.99))]
+        results[f"engine_ttft_admit{n_admit}"] = (
+            med * 1e3, p99 * 1e3, med / n_admit * 1e3
+        )
         print(
             f"engine TTFT, {n_admit} concurrent admission(s) "
-            f"(prompt={s - 1}): {med * 1e3:.1f} ms total, "
-            f"{med / n_admit * 1e3:.1f} ms/request"
+            f"(prompt={s - 1}): p50 {med * 1e3:.1f} ms / p99 "
+            f"{p99 * 1e3:.1f} ms total, {med / n_admit * 1e3:.1f} "
+            "ms/request"
         )
 
     for quant in [None, "int8", "fp8_e4m3"]:
@@ -144,11 +161,70 @@ def main():
         )
         np.asarray(tokens)
         dt = time.perf_counter() - t0
+        results[f"decode_{quant or 'bf16'}"] = (
+            b * args.steps / dt, dt / args.steps * 1e3
+        )
         print(
             f"decode kv={quant or 'bf16'}: "
             f"{b * args.steps / dt:,.0f} tokens/s  "
             f"({dt / args.steps * 1e3:.2f} ms/step @ b={b})"
         )
+
+    if args.write_md:
+        write_md(cfg, args, results)
+
+
+def write_md(cfg, args, r):
+    b, s = args.batch, args.prompt
+    lines = [
+        "# SERVING — measured decode / TTFT metrics (north star, "
+        "BASELINE.json)",
+        "",
+        f"Model: GPT-2 small ({cfg.n_layer}L, {cfg.n_head}h, "
+        f"{cfg.n_embd}d), bf16 weights, paged KV cache (page 128). "
+        f"Batch {b}, prompt {s}, {args.steps} decode steps per "
+        "measurement. Single tunneled v5e chip.",
+        "",
+        "## Decode throughput (all steps in one dispatch)",
+        "",
+        "| KV cache | tokens/s | ms/step (batch) |",
+        "|---|---|---|",
+    ]
+    for q in ("bf16", "int8", "fp8_e4m3"):
+        tok, ms = r[f"decode_{q}"]
+        lines.append(f"| {q} | {tok:,.0f} | {ms:.2f} |")
+    lines += [
+        "",
+        "FP8-KV quality bar: perplexity delta vs bf16 = 0.0005 on a "
+        "trained GPT-2 (FP8_PPL.md; bar <= 0.05).",
+        "",
+        "## Time to first token",
+        "",
+        "| Path | p50 | p99 |",
+        "|---|---|---|",
+        f"| raw prefill dispatch (b={b}, prompt={s}) | "
+        f"{r['prefill_ttft_p50_ms']:.1f} ms | "
+        f"{r['prefill_ttft_p99_ms']:.1f} ms |",
+    ]
+    for n in (1, 4):
+        med, p99, per = r[f"engine_ttft_admit{n}"]
+        lines.append(
+            f"| continuous-batching engine, {n} concurrent admission(s) | "
+            f"{med:.1f} ms ({per:.1f}/req) | {p99:.1f} ms |"
+        )
+    lines += [
+        "",
+        "Tunnel caveat (measured separately): the remote chip adds ~27 ms "
+        "RTT per host-visible dispatch and ~170 us per fori_loop "
+        "iteration inside a dispatch (an 8x50257 argmax alone measures "
+        "~1.5 ms/iter), so absolute tokens/s and TTFT here understate a "
+        "directly-attached TPU; the KV-dtype *ratios* and the engine-vs-"
+        "raw deltas are the portable signal.",
+    ]
+    path = os.path.join(os.path.dirname(__file__), "..", "SERVING.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SERVING.md")
 
 
 if __name__ == "__main__":

@@ -99,6 +99,79 @@ def main():
     results.append(("dq-alias vs scratch grads (max err %.1e, tol 5e-3)" % err,
                     err < 5e-3))
 
+    # ---- dq-alias shape sweep (VERDICT r2 #6) ----
+    # The stale-block clobber hazard (flash_bwd.py redirect notes) is
+    # shape-dependent: sweep seqlen x head_dim x causal x GQA. For shapes
+    # whose fp32 dq fits VMEM, oracle = scratch mode (alias forced via
+    # threshold). For longer shapes (alias is the only mode that fits),
+    # cross-check two *different* alias tilings — independent RMW
+    # schedules agreeing rules out stale-copy clobbers there too.
+    import dataclasses as _dc
+
+    from flash_attn_tpu.kernels.block_sizes import BlockSizes
+
+    sweep = [
+        # (sq, d, causal, kv_head_divisor) — scratch-oracle rows
+        (4096, 64, True, 1),
+        (4096, 128, False, 1),
+        (8192, 64, True, 2),
+        (8192, 128, True, 1),
+        # alias-vs-alias rows (natural alias; scratch would blow VMEM)
+        (16384, 128, True, 1),
+        (32768, 64, True, 2),
+    ]
+    for sq_i, d_i, causal_i, gdiv in sweep:
+        h_q = 2
+        qs = jnp.asarray(
+            rng.standard_normal((1, sq_i, h_q, d_i)), jnp.bfloat16)
+        ks = jnp.asarray(
+            rng.standard_normal((1, sq_i, h_q // gdiv, d_i)), jnp.bfloat16)
+        vs = jnp.asarray(
+            rng.standard_normal((1, sq_i, h_q // gdiv, d_i)), jnp.bfloat16)
+
+        def _g(bs=None):
+            return jax.jit(jax.grad(
+                lambda a, b_, c: jnp.sum(
+                    flash_attention(
+                        a, b_, c, causal=causal_i, block_sizes=bs
+                    ).astype(jnp.float32)
+                ),
+                argnums=(0, 1, 2),
+            ))(qs, ks, vs)
+
+        natural_alias = sq_i * d_i * 4 > saved
+        try:
+            if not natural_alias:
+                ref_s = jax.tree.map(np.asarray, _g())  # scratch
+                FB.DQ_SCRATCH_BYTES = 1
+                jax.clear_caches()
+                got_s = jax.tree.map(np.asarray, _g())  # forced alias
+                kind = "alias vs scratch"
+            else:
+                ref_s = jax.tree.map(np.asarray, _g())  # default alias
+                alt = BlockSizes.choose(
+                    seq_len_q=sq_i, seq_len_k=sq_i, head_dim=d_i)
+                alt = _dc.replace(
+                    alt,
+                    block_k_dq=max(128, alt.block_k_dq // 2),
+                    block_q_dq=max(128, alt.block_q_dq // 2),
+                )
+                got_s = jax.tree.map(np.asarray, _g(alt))  # alt alias tiling
+                kind = "alias vs alias/2-tiles"
+        finally:
+            FB.DQ_SCRATCH_BYTES = saved
+            jax.clear_caches()
+        err = max(
+            float(np.max(np.abs(a.astype(np.float32) - b.astype(np.float32))))
+            for a, b in zip(jax.tree.leaves(ref_s), jax.tree.leaves(got_s))
+        )
+        results.append((
+            f"dq sweep S={sq_i} d={d_i} causal={int(causal_i)} "
+            f"gqa={gdiv}x ({kind}, err %.1e, tol 5e-3)" % err,
+            err < 5e-3,
+        ))
+        print(results[-1], flush=True)
+
     dev = jax.devices()[0]
     lines = [
         "# On-device determinism check",
