@@ -40,6 +40,10 @@ class GPT2Config:
     n_head: int = 12
     n_embd: int = 768
     dropout: float = 0.0
+    # HF GPT-2's epsilon (torch default would be 1e-5 too; flax's is
+    # 1e-6) — config-surfaced so converted checkpoints (convert.py)
+    # reproduce the source model exactly.
+    layer_norm_epsilon: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -84,7 +88,10 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.config
-        h = nn.LayerNorm(dtype=cfg.dtype, name="ln_1")(x)
+        ln = lambda name: nn.LayerNorm(
+            epsilon=cfg.layer_norm_epsilon, dtype=cfg.dtype, name=name
+        )
+        h = ln("ln_1")(x)
         if self.attn_impl is None:
             attn_out = FlashMHA(
                 embed_dim=cfg.n_embd,
@@ -100,7 +107,7 @@ class Block(nn.Module):
                 config=cfg, attn_impl=self.attn_impl, name="attn"
             )(h, deterministic=deterministic)
         x = x + attn_out
-        h = nn.LayerNorm(dtype=cfg.dtype, name="ln_2")(x)
+        h = ln("ln_2")(x)
         x = x + Mlp(cfg, name="mlp")(h, deterministic=deterministic)
         return x
 
@@ -168,7 +175,9 @@ class GPT2LMHeadModel(nn.Module):
             x = Block(cfg, attn_impl=self.attn_impl, name=f"h_{i}")(
                 x, deterministic=deterministic
             )
-        x = nn.LayerNorm(dtype=cfg.dtype, name="ln_f")(x)
+        x = nn.LayerNorm(
+            epsilon=cfg.layer_norm_epsilon, dtype=cfg.dtype, name="ln_f"
+        )(x)
         # Tied LM head on the MXU's native bf16 x bf16 -> fp32 path: the
         # (tokens, 768) x (768, 50257) projection is ~30% of step matmul
         # flops, and an fp32 matmul runs at ~1/8 MXU peak on v5e — the

@@ -28,7 +28,7 @@ from flash_attn_tpu.ops.attention import flash_attention
 from flash_attn_tpu.serving.cache import PagedKVCache, append_token
 
 
-def _layer_norm(x, p, eps=1e-6):
+def _layer_norm(x, p, eps):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     y = (x - mu) * jax.lax.rsqrt(var + eps)
@@ -73,16 +73,22 @@ def prefill(
     ks, vs = [], []
     for i in range(cfg.n_layer):
         lp = p[f"h_{i}"]
-        h = _layer_norm(x.astype(jnp.float32), lp["ln_1"]).astype(cfg.dtype)
+        h = _layer_norm(
+            x.astype(jnp.float32), lp["ln_1"], cfg.layer_norm_epsilon
+        ).astype(cfg.dtype)
         q, k, v = _qkv(h, lp["attn"], cfg)
         ks.append(k)
         vs.append(v)
         ctx = flash_attention(q, k, v, causal=True)
         attn_out = _dense(ctx.reshape(b, s, cfg.n_embd), lp["attn"]["out_proj"])
         x = x + attn_out.astype(cfg.dtype)
-        h = _layer_norm(x.astype(jnp.float32), lp["ln_2"]).astype(cfg.dtype)
+        h = _layer_norm(
+            x.astype(jnp.float32), lp["ln_2"], cfg.layer_norm_epsilon
+        ).astype(cfg.dtype)
         x = x + _mlp(h, lp["mlp"]).astype(cfg.dtype)
-    x = _layer_norm(x.astype(jnp.float32), p["ln_f"])
+    x = _layer_norm(
+        x.astype(jnp.float32), p["ln_f"], cfg.layer_norm_epsilon
+    )
     if lengths is None:
         last = x[:, -1]
     else:
@@ -114,7 +120,9 @@ def decode_step(
     safe_len = jnp.maximum(lengths, 0)
     for i in range(cfg.n_layer):
         lp = p[f"h_{i}"]
-        h = _layer_norm(x.astype(jnp.float32), lp["ln_1"]).astype(cfg.dtype)
+        h = _layer_norm(
+            x.astype(jnp.float32), lp["ln_1"], cfg.layer_norm_epsilon
+        ).astype(cfg.dtype)
         q, k, v = _qkv(h, lp["attn"], cfg)  # (b, 1, n_head, hd)
         # Raw lengths: append_token redirects negative-length (inactive)
         # slots to the reserved scratch page itself, so safety does not
@@ -134,8 +142,12 @@ def decode_step(
         )
         attn_out = _dense(ctx.reshape(b, cfg.n_embd), lp["attn"]["out_proj"])
         x = x + attn_out.astype(cfg.dtype)[:, None]
-        h = _layer_norm(x.astype(jnp.float32), lp["ln_2"]).astype(cfg.dtype)
+        h = _layer_norm(
+            x.astype(jnp.float32), lp["ln_2"], cfg.layer_norm_epsilon
+        ).astype(cfg.dtype)
         x = x + _mlp(h, lp["mlp"]).astype(cfg.dtype)
-    x = _layer_norm(x[:, 0].astype(jnp.float32), p["ln_f"])
+    x = _layer_norm(
+        x[:, 0].astype(jnp.float32), p["ln_f"], cfg.layer_norm_epsilon
+    )
     logits = x @ p["wte"].T.astype(jnp.float32)
     return logits, new_caches
