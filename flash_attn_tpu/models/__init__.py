@@ -2,6 +2,11 @@
 (BERT / GPT-2 / ViT, reference README.md:145) plus drop-in modules."""
 
 from flash_attn_tpu.models.bert import BertConfig, BertForMaskedLM, BertModel
+from flash_attn_tpu.models.convert import (
+    convert_hf_gpt2_state_dict,
+    gpt2_config_from_hf,
+    load_hf_gpt2,
+)
 from flash_attn_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
 from flash_attn_tpu.models.modules import FlashAttention, FlashMHA
 from flash_attn_tpu.models.vit import ViTClassifier, ViTConfig
@@ -16,4 +21,7 @@ __all__ = [
     "GPT2LMHeadModel",
     "ViTClassifier",
     "ViTConfig",
+    "convert_hf_gpt2_state_dict",
+    "gpt2_config_from_hf",
+    "load_hf_gpt2",
 ]
