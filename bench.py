@@ -72,10 +72,11 @@ def _median_time(f, *args, iters=13, chain=24, vary=0):
 
     # Best-of-k windows: ambient windows on the shared chip last tens of
     # seconds; spacing passes out keeps one bad window from setting the
-    # round's number.
+    # round's number. Noise is one-sided (contention only adds time), so
+    # the minimum across windows is the least-contaminated estimate.
     best = one_pass()
-    for _ in range(2):
-        time.sleep(15)
+    for _ in range(4):
+        time.sleep(20)
         best = min(best, one_pass())
     return max(best, 1e-9)
 
