@@ -1,0 +1,133 @@
+"""Sliding-window attention benchmark: band-width scaling on one chip.
+
+Measures the causal fwd (and optionally fwd+bwd) at long sequence length
+with shrinking window bands, against the full-causal kernel and the ideal
+work ratio. Demonstrates the band-skip claim: cost scales with band width,
+not sequence length.
+
+Run on the real TPU:  python benchmarks/bench_window.py [--bwd]
+Writes WINDOW.md with --write-md.
+"""
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.utils import median_time
+from flash_attn_tpu import flash_attention
+
+
+def causal_flops(b, h, s, d, window_left=None):
+    """Exact visible-pair count * 4 * d (fwd)."""
+    if window_left is None:
+        pairs = s * (s + 1) // 2
+    else:
+        w = min(window_left, s - 1)
+        full_rows = s - w  # rows with the full (w+1)-wide band
+        pairs = full_rows * (w + 1) + w * (w + 1) // 2
+    return 4 * b * h * pairs * d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seqlen", type=int, default=16384)
+    ap.add_argument("--bwd", action="store_true")
+    ap.add_argument("--write-md", action="store_true")
+    args = ap.parse_args()
+
+    # On-device spot check before timing (CPU tests run interpret mode;
+    # this exercises the compiled Mosaic path): windowed kernel vs XLA
+    # masked reference at S=2048. bf16 PV dots give ~5e-3 vs an fp32
+    # oracle at this scale.
+    sc, wc = 2048, 512
+    rng = np.random.default_rng(1)
+    qc = jnp.asarray(rng.standard_normal((1, 4, sc, 128)), jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((1, 4, sc, 128)), jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((1, 4, sc, 128)), jnp.bfloat16)
+
+    @jax.jit
+    def xla_ref(q, k, v):
+        sref = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+        ) * (128 ** -0.5)
+        i = jnp.arange(sc)[:, None]
+        j = jnp.arange(sc)[None, :]
+        m = (j <= i) & (j >= i - wc)
+        p = jax.nn.softmax(jnp.where(m, sref, -jnp.inf), axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+
+    outc = jax.jit(functools.partial(
+        flash_attention, causal=True, layout="bhsd", window_size=(wc, 0)
+    ))(qc, kc, vc)
+    err = float(jnp.max(jnp.abs(
+        outc.astype(jnp.float32) - xla_ref(qc, kc, vc))))
+    print(f"spot check S={sc} window={wc}: max err vs XLA ref {err:.2e}")
+    assert err < 2e-2, err
+
+    b, h, d = 1, 16, 128
+    s = args.seqlen
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, h, s, d)), jnp.bfloat16)
+
+    rows = []
+    windows = [None, 8192, 4096, 2048, 1024]
+    t_full = None
+    for w in windows:
+        ws = None if w is None else (w, 0)
+        f = jax.jit(functools.partial(
+            flash_attention, causal=True, layout="bhsd", window_size=ws))
+        t = median_time(f, q, k, v, iters=5, chain=8)
+        fl = causal_flops(b, h, s, d, w)
+        tfl = fl / t / 1e12
+        if w is None:
+            t_full = t
+        speedup = t_full / t
+        ideal = causal_flops(b, h, s, d, None) / fl
+        label = "full causal" if w is None else f"window {w}"
+        rows.append((label, t * 1e3, tfl, speedup, ideal))
+        print(
+            f"{label:>12}: {t * 1e3:7.2f} ms  {tfl:6.1f} TFLOP/s "
+            f" speedup {speedup:4.2f}x (ideal {ideal:4.2f}x)"
+        )
+        if args.bwd:
+            g = q
+
+            def loss(q, k, v, f=f):
+                return jnp.sum((f(q, k, v) * g).astype(jnp.float32))
+
+            gr = jax.jit(
+                lambda q, k, v: jax.grad(loss, argnums=(0, 1, 2))(q, k, v)[0]
+            )
+            tb = median_time(gr, q, k, v, iters=3, chain=4)
+            print(f"{label:>12}  fwd+bwd: {tb * 1e3:7.2f} ms")
+
+    if args.write_md:
+        lines = [
+            "# Sliding-window attention (measured, single v5e chip)",
+            "",
+            f"Causal fwd, b={b} h={h} d={d} S={s}, bf16, `window_size=(w, 0)`.",
+            "TFLOP/s counts only visible pairs (band flops). Ideal speedup",
+            "= full-causal flops / band flops; the kernel operates on",
+            "128-row block granularity, so small windows pay band-edge",
+            "masking overhead.",
+            "",
+            "| config | time | TFLOP/s | speedup vs full | ideal |",
+            "|---|---|---|---|---|",
+        ]
+        for label, ms, tfl, sp, ideal in rows:
+            lines.append(
+                f"| {label} | {ms:.2f} ms | {tfl:.1f} | {sp:.2f}x |"
+                f" {ideal:.2f}x |"
+            )
+        with open("WINDOW.md", "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+        print("wrote WINDOW.md")
+
+
+if __name__ == "__main__":
+    main()

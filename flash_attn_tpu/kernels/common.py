@@ -59,16 +59,19 @@ def attention_mask(
 
 
 def classify_segment_block(qp_vec, kp_vec, qs_vec, ks_vec, *, causal,
-                           bounds_possible):
+                           bounds_possible, window_left=None,
+                           window_right=None):
     """Position-aware runtime block classification for the segment path,
     shared by the fwd and bwd kernels.
 
     Returns (live, uniform): ``live`` is False when every (q, k) pair in
-    the block is causally masked (max q_pos < min kv_pos — e.g. a
-    fully-future ring-attention shard, skipped entirely); ``uniform`` is
-    True when the block is provably mask-free (single shared non-padding
-    segment id, fully causally past, no bounds padding) and may run the
-    fast path. Conservative: any uncertainty returns uniform=False.
+    the block is masked (causally — max q_pos < min kv_pos, e.g. a
+    fully-future ring-attention shard — or entirely outside the sliding
+    window band), skipped entirely; ``uniform`` is True when the block is
+    provably mask-free (single shared non-padding segment id, fully
+    causally past, fully inside the window band, no bounds padding) and
+    may run the fast path. Conservative: any uncertainty returns
+    uniform=False.
     """
     import jax.numpy as jnp
 
@@ -82,4 +85,14 @@ def classify_segment_block(qp_vec, kp_vec, qs_vec, ks_vec, *, causal,
         uniform = jnp.bool_(False)
     if causal:
         uniform = uniform & (jnp.min(qp_vec) >= jnp.max(kp_vec))
+    if window_left is not None:
+        live = live & (jnp.max(kp_vec) >= jnp.min(qp_vec) - window_left)
+        uniform = uniform & (
+            jnp.min(kp_vec) >= jnp.max(qp_vec) - window_left
+        )
+    if window_right is not None:
+        live = live & (jnp.min(kp_vec) <= jnp.max(qp_vec) + window_right)
+        uniform = uniform & (
+            jnp.max(kp_vec) <= jnp.min(qp_vec) + window_right
+        )
     return live, uniform

@@ -58,13 +58,14 @@ DQ_SCRATCH_BYTES = 4 * 1024 * 1024
 
 def _chain_mask(
     shape, row0, col0, *, sk, bounds_possible, causal, has_segments,
-    qpos, kpos, qseg, kseg, rows_sl,
+    qpos, kpos, qseg, kseg, rows_sl, window_left=None, window_right=None,
 ):
     """Mask for one (bqs, bk) sub-chain tile at global offset (row0, col0).
 
     Uses full-tile iotas — measured faster on v5e than broadcasting
     (bqs, 1) vs (1, bk) vector compares (the dropout hash, by contrast,
     is separable and does use vectors; see prng.hash_coords)."""
+    windowed = window_left is not None or window_right is not None
     mask = jnp.ones(shape, jnp.bool_)
     if bounds_possible:
         cols_t = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
@@ -73,12 +74,24 @@ def _chain_mask(
         qs = qseg[rows_sl][:, None]
         ks = kseg[None, :]
         mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
-        if causal:
-            mask = mask & (qpos[rows_sl][:, None] >= kpos[None, :])
-    elif causal:
+        if causal or windowed:
+            qp = qpos[rows_sl][:, None]
+            kp = kpos[None, :]
+            if causal:
+                mask = mask & (qp >= kp)
+            if window_left is not None:
+                mask = mask & (kp >= qp - window_left)
+            if window_right is not None:
+                mask = mask & (kp <= qp + window_right)
+    elif causal or windowed:
         rows_t = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
         cols_t = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
-        mask = mask & (rows_t >= cols_t)
+        if causal:
+            mask = mask & (rows_t >= cols_t)
+        if window_left is not None:
+            mask = mask & (cols_t >= rows_t - window_left)
+        if window_right is not None:
+            mask = mask & (cols_t <= rows_t + window_right)
     return mask
 
 
@@ -97,6 +110,8 @@ def _fused_kernel(
     num_heads: int,
     chains: int,
     dq_alias: bool,
+    window_left: int | None,
+    window_right: int | None,
 ):
     """Single-pass backward: grid (b, h, ik, iq), K/V-stationary.
 
@@ -197,6 +212,8 @@ def _fused_kernel(
                     qseg=qseg_ref[0] if has_segments else None,
                     kseg=kseg_ref[0] if has_segments else None,
                     rows_sl=sl,
+                    window_left=window_left,
+                    window_right=window_right,
                 )
                 p = jnp.where(mask, p, 0.0)
 
@@ -247,24 +264,42 @@ def _fused_kernel(
         live, uniform = classify_segment_block(
             qpos_ref[0], kpos_ref[0], qseg_ref[0], kseg_ref[0],
             causal=causal, bounds_possible=bounds_possible,
+            window_left=window_left, window_right=window_right,
         )
         pl.when(live & uniform)(lambda: _compute(masked=False))
         pl.when(live & jnp.logical_not(uniform))(
             lambda: _compute(masked=True)
         )
     else:
+        # Same band/diagonal algebra as the forward (see flash_fwd.py):
+        # needs_mask when the block crosses the causal diagonal, a window
+        # band edge, or the padded-bounds column; should_run skips blocks
+        # with no visible pair.
         needs_mask = jnp.bool_(False)
+        should_run = jnp.bool_(True)
+        have_mask = have_skip = False
+        r0, r1 = iq * block_q, iq * block_q + block_q - 1
+        c0, c1 = ik * block_k, ik * block_k + block_k - 1
         if bounds_possible:
             needs_mask = needs_mask | (ik == num_k_blocks - 1)
+            have_mask = True
         if causal:
-            needs_mask = needs_mask | (
-                iq * block_q < ik * block_k + block_k - 1
-            )
-            should_run = (iq + 1) * block_q - 1 >= ik * block_k
+            needs_mask = needs_mask | (r0 < c1)
+            should_run = should_run & (r1 >= c0)
+            have_mask = have_skip = True
+        if window_left is not None:
+            needs_mask = needs_mask | (c0 < r1 - window_left)
+            should_run = should_run & (c1 >= r0 - window_left)
+            have_mask = have_skip = True
+        if window_right is not None:
+            needs_mask = needs_mask | (c1 > r0 + window_right)
+            should_run = should_run & (c0 <= r1 + window_right)
+            have_mask = have_skip = True
+        if have_skip:
             pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
             pl.when(should_run & jnp.logical_not(needs_mask))(
                 lambda: _compute(masked=False))
-        elif bounds_possible:
+        elif have_mask:
             pl.when(needs_mask)(lambda: _compute(masked=True))
             pl.when(jnp.logical_not(needs_mask))(
                 lambda: _compute(masked=False))
@@ -367,6 +402,8 @@ def flash_attention_bwd(
     block_sizes: BlockSizes | None = None,
     interpret: bool = False,
     dlse: jax.Array | None = None,  # (b, h, sq_pad) fp32 lse cotangent
+    window_left: int | None = None,
+    window_right: int | None = None,
 ):
     """Returns (dq, dk, dv) on the padded layout.
 
@@ -397,6 +434,7 @@ def flash_attention_bwd(
         block_sizes = BlockSizes.choose(seq_len_q=sq, seq_len_k=sk, head_dim=d)
     has_segments = q_segment_ids is not None
     p_drop = float(dropout_p)
+    windowed = window_left is not None or window_right is not None
 
     # di = rowsum(dout * out): the softmax_d correction. Cheap fused XLA
     # op; both di and lse are carried PACKED as (b, h, sq, 1) columns —
@@ -460,7 +498,11 @@ def flash_attention_bwd(
         # q spec's choice — is UNSAFE here: at a row transition it can
         # equal the previous step's index, Pallas elides the dqin refetch,
         # and the stale copy clobbers that block's fresh accumulation.
-        if causal and not has_segments:
+        # With a sliding window that safety argument breaks (iq=0 can be
+        # band-dead at ik=0 with more steps skipped in the same row), so
+        # windowed launches use the identity map: every step RMWs its own
+        # block (skipped steps do an idempotent copy).
+        if causal and not has_segments and not windowed:
             def dq_index(b_, h_, x, y):
                 run = (y + 1) * bq - 1 >= x * bk
                 return (b_, h_, jax.lax.select(run, y, 0), 0)
@@ -506,6 +548,8 @@ def flash_attention_bwd(
             num_heads=h,
             chains=_pick_chains(block_sizes.q_chains, bq),
             dq_alias=dq_alias,
+            window_left=window_left,
+            window_right=window_right,
         ),
         grid=(b, h, nk, nq),
         in_specs=in_specs,

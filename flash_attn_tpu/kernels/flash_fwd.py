@@ -77,6 +77,8 @@ def _fwd_kernel(
     diag_chains: int,
     diag_specialization: bool,
     tri_grid: bool,
+    window_left: int | None,
+    window_right: int | None,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -112,6 +114,7 @@ def _fwd_kernel(
 
     # Which mask components can this launch ever need? (static)
     bounds_possible = sk != sk_pad  # padded key columns at the last k block
+    windowed = window_left is not None or window_right is not None
     bqs = block_q // q_chains  # sub-q chain height
     # Does exp2(DEFAULT_MASK_VALUE * c - m) underflow to exactly 0? With a
     # pathologically small softmax_scale (< ~1e-36) it does not, and masked
@@ -186,12 +189,22 @@ def _fwd_kernel(
                     qs = qseg_ref[0][rows_sl][:, None]
                     ks = kseg_ref[0][None, :]
                     mask = mask & (qs == ks) & (ks >= 0) & (qs >= 0)
-                    if causal:
+                    if causal or windowed:
                         qp = qpos_ref[0][rows_sl][:, None]
                         kp = kpos_ref[0][None, :]
-                        mask = mask & (qp >= kp)
-                elif causal:
-                    mask = mask & (rows_t >= cols_t)
+                        if causal:
+                            mask = mask & (qp >= kp)
+                        if window_left is not None:
+                            mask = mask & (kp >= qp - window_left)
+                        if window_right is not None:
+                            mask = mask & (kp <= qp + window_right)
+                else:
+                    if causal:
+                        mask = mask & (rows_t >= cols_t)
+                    if window_left is not None:
+                        mask = mask & (cols_t >= rows_t - window_left)
+                    if window_right is not None:
+                        mask = mask & (cols_t <= rows_t + window_right)
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_ref[rows_sl]  # (bqs, 1) column state
@@ -204,16 +217,18 @@ def _fwd_kernel(
             m_next = jnp.maximum(m_prev, m_curr)  # (bqs, 1)
             alpha = jnp.exp2(m_prev - m_next)
             p = jnp.exp2(s * c - m_next)
-            if masked and (has_segments or not mask_underflows):
+            if masked and (has_segments or windowed or not mask_underflows):
                 # Explicit zero for masked slots: a row fully masked in this
-                # block but valid in a *later* one (possible only with
-                # segments, where a row's partner keys may start
-                # mid-sequence) would otherwise contribute p = exp2(0) = 1.
-                # Without segments, every row sees valid keys in kv block 0
-                # (cols 0..r for causal; cols < sk for bounds), so m is
-                # genuine by the time any partially-masked block is
-                # processed and exp2(DMV*c - m) underflows to exactly 0 —
-                # unless softmax_scale is tiny (see mask_underflows above).
+                # block but valid in a *later* one (possible with segments,
+                # where a row's partner keys may start mid-sequence, and
+                # with sliding windows, where a row's band may start after
+                # this block's columns) would otherwise contribute
+                # p = exp2(0) = 1. Without segments/window, every row sees
+                # valid keys in kv block 0 (cols 0..r for causal; cols < sk
+                # for bounds), so m is genuine by the time any
+                # partially-masked block is processed and exp2(DMV*c - m)
+                # underflows to exactly 0 — unless softmax_scale is tiny
+                # (see mask_underflows above).
                 p = jnp.where(mask, p, 0.0)
 
             # The normalizer sums the *un-dropped* probabilities (dropout
@@ -318,6 +333,7 @@ def _fwd_kernel(
         and causal
         and not has_segments
         and not bounds_possible
+        and not windowed
         and block_q == block_k
         and p_drop == 0.0
         and mask_underflows
@@ -334,6 +350,7 @@ def _fwd_kernel(
         live, uniform = classify_segment_block(
             qpos_ref[0], kpos_ref[0], qseg_ref[0], kseg_ref[0],
             causal=causal, bounds_possible=bounds_possible,
+            window_left=window_left, window_right=window_right,
         )
         pl.when(live & uniform)(lambda: _compute(masked=False))
         pl.when(live & jnp.logical_not(uniform))(
@@ -353,29 +370,46 @@ def _fwd_kernel(
         pl.when(ik != iq)(lambda: _compute(masked=False))
     else:
         # Per-block mask requirement (traced): the last k block when sk is
-        # padded, and blocks intersecting the causal diagonal. Interior
-        # blocks take a mask-free fast path (no iota / compare / select
-        # passes over the score tile).
+        # padded, blocks intersecting the causal diagonal, and blocks
+        # crossing a sliding-window band edge. Interior blocks take a
+        # mask-free fast path (no iota / compare / select passes over the
+        # score tile). ``should_run`` skips blocks with no visible pair:
+        # entirely above the causal diagonal or entirely outside the band
+        # (reference analog: fmha_fprop_kernel_1xN.h:302 skips q steps
+        # below the k block).
         needs_mask = jnp.bool_(False)
+        should_run = jnp.bool_(True)
+        have_mask = have_skip = False
+        r0, r1 = iq * block_q, iq * block_q + block_q - 1
+        c0, c1 = ik * block_k, ik * block_k + block_k - 1
         if bounds_possible:
             needs_mask = needs_mask | (ik == num_k_blocks - 1)
+            have_mask = True
         if causal:
             # Not entirely below the diagonal: min_row < max_col.
-            needs_mask = needs_mask | (
-                iq * block_q < ik * block_k + block_k - 1
-            )
-            # Skip kv blocks entirely above the diagonal (reference analog:
-            # fmha_fprop_kernel_1xN.h:302 skips q steps below the k block).
-            should_run = (iq + 1) * block_q - 1 >= ik * block_k
-            diag_fn = _compute_diag if use_diag else (
-                lambda: _compute(masked=True)
-            )
-            pl.when(should_run & needs_mask)(diag_fn)
+            needs_mask = needs_mask | (r0 < c1)
+            should_run = should_run & (r1 >= c0)
+            have_mask = have_skip = True
+        if window_left is not None:
+            # Mask-free wrt the left band edge iff min_col >= max_row - L.
+            needs_mask = needs_mask | (c0 < r1 - window_left)
+            should_run = should_run & (c1 >= r0 - window_left)
+            have_mask = have_skip = True
+        if window_right is not None:
+            # Mask-free wrt the right band edge iff max_col <= min_row + R.
+            needs_mask = needs_mask | (c1 > r0 + window_right)
+            should_run = should_run & (c0 <= r1 + window_right)
+            have_mask = have_skip = True
+        masked_fn = _compute_diag if use_diag else (
+            lambda: _compute(masked=True)
+        )
+        if have_skip:
+            pl.when(should_run & needs_mask)(masked_fn)
             pl.when(should_run & jnp.logical_not(needs_mask))(
                 lambda: _compute(masked=False)
             )
-        elif bounds_possible:
-            pl.when(needs_mask)(lambda: _compute(masked=True))
+        elif have_mask:
+            pl.when(needs_mask)(masked_fn)
             pl.when(jnp.logical_not(needs_mask))(
                 lambda: _compute(masked=False)
             )
@@ -423,6 +457,8 @@ def flash_attention_fwd(
     block_sizes: BlockSizes | None = None,
     interpret: bool = False,
     save_lse: bool = True,
+    window_left: int | None = None,
+    window_right: int | None = None,
 ):
     """Launch the forward kernel on block-aligned inputs.
 
@@ -461,14 +497,19 @@ def flash_attention_fwd(
         diag_chains -= 1
     has_segments = q_segment_ids is not None
     p_drop = float(dropout_p)
+    windowed = window_left is not None or window_right is not None
 
     # Triangular linearized grid for causal self-attention: enumerate only
     # the nq*(nq+1)/2 executed lower-triangle blocks instead of a dense
     # nq*nk grid where ~half the steps are skipped — each skipped step
     # still costs a grid-step of pipeline overhead (~0.35 ms at S=4K).
+    # Sliding windows use the rectangular grid: most triangle blocks are
+    # band-dead and the rectangular grid's DMA-redirect makes skipped
+    # steps cheap.
     tri_grid = (
         causal
         and not has_segments
+        and not windowed
         and bq == bk
         and sq_pad == sk_pad
         and num_q_blocks > 1
@@ -488,7 +529,34 @@ def flash_attention_fwd(
         def q_index(b_, h_, iq, ik):
             return (b_, h_, iq, 0)
 
-        if causal and not has_segments:
+        if windowed and not has_segments:
+            # Band-skipped kv blocks are never read: clamp the DMA index
+            # into the row's live block range so the pipeline prefetch
+            # streams live K/V tiles only (and adjacent equal indices let
+            # Pallas elide the refetch entirely). Safe for read-only
+            # operands. The column upper bound combines causal (c <= r)
+            # with window_right (c <= r + R); the lower bound is
+            # window_left (c >= r - L).
+            ub_terms = ([0] if causal else []) + (
+                [window_right] if window_right is not None else []
+            )
+            ub_off = min(ub_terms) if ub_terms else None
+
+            def kv_index(b_, h_, iq, ik):
+                ike = ik
+                if ub_off is not None:
+                    hi = jnp.minimum(
+                        ((iq + 1) * bq - 1 + ub_off) // bk,
+                        num_k_blocks - 1,
+                    )
+                    ike = jnp.minimum(ike, jnp.maximum(hi, 0))
+                if window_left is not None:
+                    lo = jnp.clip(
+                        (iq * bq - window_left) // bk, 0, num_k_blocks - 1
+                    )
+                    ike = jnp.maximum(ike, lo)
+                return (b_, h_ // group, ike, 0)
+        elif causal and not has_segments:
             # Causal-skipped kv blocks are never read: redirect their DMA
             # to block 0 — the block the *next* q row starts with — so the
             # pipeline prefetch does useful work instead of streaming dead
@@ -585,9 +653,19 @@ def flash_attention_fwd(
         diag_chains=diag_chains,
         diag_specialization=block_sizes.diag_specialization,
         tri_grid=tri_grid,
+        window_left=window_left,
+        window_right=window_right,
     )
 
     flops_mask = 0.5 if causal else 1.0
+    if windowed:
+        # Average visible band width as a fraction of sk.
+        band = (window_left if window_left is not None else sk) + (
+            0 if causal else (
+                window_right if window_right is not None else sk
+            )
+        )
+        flops_mask = min(flops_mask, min(band + 1, sk) / sk)
     cost = pl.CostEstimate(
         flops=int(4 * b * h * sq * sk * d * flops_mask),
         bytes_accessed=int(

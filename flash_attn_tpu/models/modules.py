@@ -49,6 +49,9 @@ class FlashAttention(nn.Module):
     softmax_scale: Optional[float] = None
     attention_dropout: float = 0.0
     block_sizes: Optional[BlockSizes] = None
+    # Sliding-window (left, right) band; None entries unbounded. See
+    # ops.attention.flash_attention. Dense/padded modes only.
+    window_size: Optional[tuple] = None
 
     @nn.compact
     def __call__(
@@ -69,6 +72,11 @@ class FlashAttention(nn.Module):
             assert qkv.ndim == 4, "packed qkv must be (nnz, 3, h, d)"
             if max_s is None:
                 raise ValueError("cu_seqlens requires max_s")
+            if self.window_size is not None:
+                raise ValueError(
+                    "window_size is not supported on the cu_seqlens path; "
+                    "use the padded mode (segment-id masking) instead"
+                )
             return flash_attn_unpadded_qkvpacked_func(
                 qkv, cu_seqlens, max_s, dropout_p,
                 softmax_scale=self.softmax_scale, causal=causal,
@@ -91,6 +99,7 @@ class FlashAttention(nn.Module):
             dropout_p=dropout_p,
             dropout_seed=seed,
             block_sizes=self.block_sizes,
+            window_size=self.window_size,
         )
 
 
@@ -109,6 +118,7 @@ class FlashMHA(nn.Module):
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
     block_sizes: Optional[BlockSizes] = None
+    window_size: Optional[tuple] = None  # sliding-window (left, right)
 
     def setup(self):
         if self.embed_dim % self.num_heads != 0:
@@ -139,6 +149,7 @@ class FlashMHA(nn.Module):
             softmax_scale=self.softmax_scale,
             attention_dropout=self.attention_dropout,
             block_sizes=self.block_sizes,
+            window_size=self.window_size,
         )
         self.out_proj = nn.Dense(
             self.embed_dim, use_bias=self.bias, dtype=self.dtype,
@@ -192,5 +203,6 @@ class FlashMHA(nn.Module):
             dropout_p=dropout_p,
             dropout_seed=seed,
             block_sizes=self.block_sizes,
+            window_size=self.window_size,
         )
         return self.out_proj(context.reshape(b, s, self.embed_dim))

@@ -59,6 +59,45 @@ class _Config:
     has_segments: bool
     block_sizes: BlockSizes
     interpret: bool
+    window_left: int | None = None
+    window_right: int | None = None
+
+
+def _parse_window(window_size, causal: bool):
+    """Normalize a ``window_size`` argument to (left, right).
+
+    Accepts None (no window), or a (left, right) pair where each entry is
+    None or -1 for unbounded (the CUDA flash_attn convention uses -1) or a
+    non-negative int. Key j is visible from query i iff
+    i - left <= j <= i + right (intersected with causal/segment masks).
+    """
+    if window_size is None:
+        return None, None
+    try:
+        left, right = window_size
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"window_size must be a (left, right) pair, got {window_size!r}"
+        ) from None
+
+    def norm(v, name):
+        if v is None or v == -1:
+            return None
+        v = int(v)
+        if v < 0:
+            raise ValueError(
+                f"window_size {name} must be >= 0, None, or -1 "
+                f"(unbounded); got {v}"
+            )
+        return v
+
+    left, right = norm(left, "left"), norm(right, "right")
+    if causal and right is not None:
+        # Causal already enforces j <= i; a non-negative right bound is
+        # subsumed, so drop it from the kernel's static config (fewer
+        # mask components / specializations).
+        right = None
+    return left, right
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -87,6 +126,8 @@ def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed, save_lse=True):
         block_sizes=cfg.block_sizes,
         interpret=cfg.interpret,
         save_lse=save_lse,
+        window_left=cfg.window_left,
+        window_right=cfg.window_right,
     )
 
 
@@ -117,6 +158,8 @@ def _core_bwd_vjp(cfg, residuals, dout):
         dropout_p=cfg.dropout_p,
         block_sizes=cfg.block_sizes,
         interpret=cfg.interpret,
+        window_left=cfg.window_left,
+        window_right=cfg.window_right,
     )
     return dq, dk, dv, None, None
 
@@ -165,6 +208,8 @@ def _core_lse_bwd_vjp(cfg, residuals, cotangents):
         block_sizes=cfg.block_sizes,
         interpret=cfg.interpret,
         dlse=dlse,
+        window_left=cfg.window_left,
+        window_right=cfg.window_right,
     )
     return dq, dk, dv, None, None
 
@@ -190,6 +235,7 @@ def flash_attention_bwd_bshd(
     dropout_seed: jax.Array | int | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    window_size: tuple[int | None, int | None] | None = None,
 ):
     """Standalone backward with an externally-supplied logsumexp.
 
@@ -269,6 +315,7 @@ def flash_attention_bwd_bshd(
         seed = None
     else:
         seed = jnp.asarray(dropout_seed).astype(jnp.uint32)
+    window_left, window_right = _parse_window(window_size, causal)
     dq, dk, dv = flash_attention_bwd(
         qp, kp, vp, op, dop, lse_p,
         *seg_args,
@@ -280,6 +327,8 @@ def flash_attention_bwd_bshd(
         dropout_p=float(dropout_p),
         block_sizes=block_sizes,
         interpret=interpret,
+        window_left=window_left,
+        window_right=window_right,
     )
     unpack_q = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :sq, :, :d]  # noqa: E731
     unpack_k = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :sk, :, :d]  # noqa: E731
@@ -303,6 +352,7 @@ def flash_attention(
     return_lse: bool = False,
     interpret: bool | None = None,
     layout: str = "bshd",
+    window_size: tuple[int | None, int | None] | None = None,
 ):
     """Fused flash attention. O = dropout(softmax(scale * Q K^T + mask)) V.
 
@@ -325,6 +375,13 @@ def flash_attention(
       ``dropout_seed`` (uint32 scalar or int). Same seed => bit-identical
       mask in forward and backward, any tiling.
     - ``return_lse``: also return the fp32 (b, h, sq) logsumexp.
+    - ``window_size``: sliding-window (local) attention, a (left, right)
+      pair: key j is visible from query i iff i - left <= j <= i + right
+      (positions when segment ids are given, global indices otherwise).
+      None / -1 entries mean unbounded (the CUDA flash_attn convention).
+      Band-dead blocks are skipped by the kernels, so cost scales with the
+      band width, not the sequence length. E.g. ``causal=True,
+      window_size=(4095, 0)`` is Mistral-style local causal attention.
     """
     if q.dtype == jnp.float16:
         # fp16 envelope (the reference is fp16-primary, fmha_api.cpp:136):
@@ -339,7 +396,7 @@ def flash_attention(
             q_positions=q_positions, kv_positions=kv_positions,
             dropout_p=dropout_p, dropout_seed=dropout_seed,
             block_sizes=block_sizes, return_lse=return_lse,
-            interpret=interpret, layout=layout,
+            interpret=interpret, layout=layout, window_size=window_size,
         )
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
@@ -368,6 +425,7 @@ def flash_attention(
         raise ValueError(f"dropout_p must be in [0, 1), got {dropout_p}")
     if dropout_p > 0.0 and dropout_seed is None:
         raise ValueError("dropout_p > 0 requires dropout_seed")
+    window_left, window_right = _parse_window(window_size, causal)
 
     has_segments = q_segment_ids is not None
     if has_segments and kv_segment_ids is None:
@@ -449,6 +507,8 @@ def flash_attention(
         has_segments=has_segments,
         block_sizes=block_sizes,
         interpret=interpret,
+        window_left=window_left,
+        window_right=window_right,
     )
 
     def unpack(out):

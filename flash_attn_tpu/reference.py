@@ -31,13 +31,17 @@ def build_mask(
     kv_positions: jax.Array | None = None,
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
+    window_left: int | None = None,
+    window_right: int | None = None,
 ) -> jax.Array:
     """Boolean (… , sq, sk) mask; True = attend.
 
     ``q_positions``/``kv_positions`` are per-token positions used for the
     causal comparison (local position within each packed sequence). When
     omitted they default to ``arange``. Segment ids of ``-1`` mark padding
-    tokens and never match anything.
+    tokens and never match anything. ``window_left``/``window_right`` bound
+    the visible band: position j is visible from i iff
+    i - window_left <= j <= i + window_right (None = unbounded).
     """
     if q_positions is None:
         q_positions = jnp.arange(sq, dtype=jnp.int32)
@@ -50,6 +54,10 @@ def build_mask(
     )
     if causal:
         mask = mask & (qp >= kp)
+    if window_left is not None:
+        mask = mask & (kp >= qp - window_left)
+    if window_right is not None:
+        mask = mask & (kp <= qp + window_right)
     if q_segment_ids is not None:
         assert kv_segment_ids is not None
         seg_ok = q_segment_ids[..., :, None] == kv_segment_ids[..., None, :]
