@@ -39,6 +39,41 @@ DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
 
 
+def _band_coords(t, nq, wb):
+    """Invert the banded-causal enumeration: row ``iq`` holds
+    ``min(iq, wb) + 1`` live blocks — the DIAGONAL first (j = 0), then the
+    band interior ascending (ik = max(0, iq - wb) + j - 1). ``wb`` is the
+    number of blocks the band extends left of the diagonal
+    (ceil(window_left / block)). Integer-only (branch-free compares
+    against the row-start offsets) so it is usable inside BlockSpec index
+    maps on the scalar core. Degenerates to the triangular enumeration
+    when wb >= nq - 1."""
+    def off(r):
+        if r <= wb:
+            return r * (r + 1) // 2
+        return wb * (wb + 1) // 2 + (r - wb) * (wb + 1)
+
+    iq = jnp.int32(0)
+    for r in range(1, nq):
+        iq = iq + (t >= off(r)).astype(jnp.int32)
+    off_iq = jnp.where(
+        iq <= wb,
+        iq * (iq + 1) // 2,
+        wb * (wb + 1) // 2 + (iq - wb) * (wb + 1),
+    )
+    j = t - off_iq
+    lo = jnp.maximum(iq - wb, 0)
+    ik = jnp.where(j == 0, iq, lo + j - 1)
+    return iq, ik, j
+
+
+def _band_steps(nq, wb):
+    """Total live blocks of the banded enumeration."""
+    if nq <= wb:
+        return nq * (nq + 1) // 2
+    return wb * (wb + 1) // 2 + (nq - wb) * (wb + 1)
+
+
 def _tri_coords(t, nq):
     """Invert the lower-triangle enumeration: step ``t`` of nq*(nq+1)/2
     -> (iq, ik) with ik <= iq. Integer-only (branch-free sum of compares
@@ -79,6 +114,8 @@ def _fwd_kernel(
     tri_grid: bool,
     window_left: int | None,
     window_right: int | None,
+    band_grid: bool,
+    band_wb: int,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -103,6 +140,16 @@ def _fwd_kernel(
         iq, ik, jpos = _tri_coords(pl.program_id(2), num_q_blocks)
         is_first = jpos == 0
         is_last = jpos == iq
+    elif band_grid:
+        # Banded linearized grid (causal + window_left): (b, h, t) covers
+        # ONLY the live band blocks — ~nq * (wb + 1) steps instead of
+        # nq * nk, so wall-clock scales with band width. Row order is
+        # diagonal-first like the triangular grid.
+        iq, ik, jpos = _band_coords(
+            pl.program_id(2), num_q_blocks, band_wb
+        )
+        is_first = jpos == 0
+        is_last = jpos == jnp.minimum(iq, band_wb)
     else:
         iq = pl.program_id(2)
         ik = pl.program_id(3)
@@ -368,6 +415,35 @@ def _fwd_kernel(
         )
         pl.when(ik == iq)(diag_fn)
         pl.when(ik != iq)(lambda: _compute(masked=False))
+    elif band_grid:
+        # Banded grid: every step is live by construction. j == 0 is the
+        # diagonal (causal mask; also the only block that can touch the
+        # bounds padding — band_grid implies ik <= iq so ik == nk-1 only
+        # at the last row's diagonal). j > 0 blocks need a mask only when
+        # they cross the band's LEFT edge, which at element granularity
+        # spans at most the two leftmost live blocks of the row. The
+        # diagonal specialization applies when window_left >= block_q - 1
+        # (the left edge then cannot cross the diagonal block).
+        use_diag_band = (
+            diag_specialization
+            and not bounds_possible
+            and block_q == block_k
+            and p_drop == 0.0
+            and mask_underflows
+            and window_left is not None
+            and window_left >= block_q - 1
+        )
+        diag_fn = _compute_diag if use_diag_band else (
+            lambda: _compute(masked=True)
+        )
+        pl.when(jpos == 0)(diag_fn)
+        needs_left = (
+            ik * block_k < iq * block_q + block_q - 1 - window_left
+        )
+        pl.when((jpos != 0) & needs_left)(lambda: _compute(masked=True))
+        pl.when((jpos != 0) & jnp.logical_not(needs_left))(
+            lambda: _compute(masked=False)
+        )
     else:
         # Per-block mask requirement (traced): the last k block when sk is
         # padded, blocks intersecting the causal diagonal, and blocks
@@ -417,7 +493,9 @@ def _fwd_kernel(
             # No mask component exists statically: single fast path.
             _compute(masked=False)
 
-    @pl.when(is_last if tri_grid else (ik == num_k_blocks - 1))
+    @pl.when(
+        is_last if (tri_grid or band_grid) else (ik == num_k_blocks - 1)
+    )
     def _finalize():
         l = l_ref[...]  # (block_q, 1)
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
@@ -515,6 +593,26 @@ def flash_attention_fwd(
         and num_q_blocks > 1
     )
 
+    # Banded linearized grid for causal sliding-window self-attention:
+    # enumerate only the live band blocks (~nq * (ceil(left/bq) + 1))
+    # instead of a rectangular nq * nk grid where most steps are
+    # band-dead — wall-clock scales with the band width. The backward
+    # keeps the rectangular grid: its aliased dq RMW would see adjacent
+    # equal block indices under a banded enumeration (stale-copy hazard,
+    # see flash_bwd.py), and dKV rows are kv-major anyway.
+    band_grid = (
+        causal
+        and not has_segments
+        and window_left is not None
+        and window_right is None
+        and bq == bk
+        and sq_pad == sk_pad
+        and num_q_blocks > 1
+    )
+    band_wb = 0
+    if band_grid:
+        band_wb = -(-window_left // bq) if window_left > 0 else 0
+
     if tri_grid:
         grid = (b, h, num_q_blocks * (num_q_blocks + 1) // 2)
 
@@ -523,6 +621,19 @@ def flash_attention_fwd(
 
         def kv_index(b_, h_, t):
             return (b_, h_ // group, _tri_coords(t, num_q_blocks)[1], 0)
+    elif band_grid:
+        grid = (b, h, _band_steps(num_q_blocks, band_wb))
+
+        def q_index(b_, h_, t):
+            return (b_, h_, _band_coords(t, num_q_blocks, band_wb)[0], 0)
+
+        def kv_index(b_, h_, t):
+            return (
+                b_,
+                h_ // group,
+                _band_coords(t, num_q_blocks, band_wb)[1],
+                0,
+            )
     else:
         grid = (b, h, num_q_blocks, num_k_blocks)
 
@@ -655,6 +766,8 @@ def flash_attention_fwd(
         tri_grid=tri_grid,
         window_left=window_left,
         window_right=window_right,
+        band_grid=band_grid,
+        band_wb=band_wb,
     )
 
     flops_mask = 0.5 if causal else 1.0
@@ -684,7 +797,7 @@ def flash_attention_fwd(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 ("parallel", "parallel", "arbitrary")
-                if tri_grid
+                if (tri_grid or band_grid)
                 else ("parallel", "parallel", "parallel", "arbitrary")
             ),
         ),

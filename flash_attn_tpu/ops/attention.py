@@ -316,6 +316,11 @@ def flash_attention_bwd_bshd(
     else:
         seed = jnp.asarray(dropout_seed).astype(jnp.uint32)
     window_left, window_right = _parse_window(window_size, causal)
+    if not has_segments:
+        if window_left is not None and window_left >= sq - 1:
+            window_left = None
+        if window_right is not None and window_right >= sk - 1:
+            window_right = None
     dq, dk, dv = flash_attention_bwd(
         qp, kp, vp, op, dop, lse_p,
         *seg_args,
@@ -428,6 +433,16 @@ def flash_attention(
     window_left, window_right = _parse_window(window_size, causal)
 
     has_segments = q_segment_ids is not None
+    if not has_segments:
+        # Without segments the window compares global indices, so a band
+        # covering every (i, j) pair is exactly the unwindowed kernel —
+        # drop the bound (fewer specializations; tri-grid/diag paths stay
+        # available). With segments, positions are caller-supplied and
+        # unbounded, so no such simplification is valid.
+        if window_left is not None and window_left >= sq - 1:
+            window_left = None
+        if window_right is not None and window_right >= sk - 1:
+            window_right = None
     if has_segments and kv_segment_ids is None:
         raise ValueError("q_segment_ids requires kv_segment_ids")
     if has_segments and q_positions is None:

@@ -241,6 +241,82 @@ def test_window_dropout_deterministic():
         assert bool(jnp.all(jnp.isfinite(a.astype(jnp.float32))))
 
 
+@pytest.mark.parametrize("left", [0, 64, 128, 200, 500])
+def test_window_banded_grid_small_blocks(left):
+    # Force 128-wide tiles at S=1024 (8x8 block grid) so the banded
+    # linearized grid runs multi-block bands: wb = ceil(left/128) in
+    # {0, 1, 1, 2, 4} live blocks left of the diagonal.
+    from flash_attn_tpu.kernels.block_sizes import BlockSizes
+
+    bs = BlockSizes(
+        block_q=128, block_k=128, block_q_dkv=128, block_k_dkv=128,
+        block_q_dq=128, block_k_dq=128,
+    )
+    rng = np.random.default_rng(seed=left)
+    s = 1024
+    q, k, v = random_qkv(rng, 1, s, s, 2, 64, jnp.bfloat16)
+    out, lse = flash_attention(
+        q, k, v, causal=True, window_size=(left, 0), block_sizes=bs,
+        return_lse=True,
+    )
+    ref32, refnat = _refs(q, k, v, causal=True, left=left, right=None)
+    assert_two_x_bound(out, ref32, refnat, atol=1e-4, label="out")
+    lse_ref = attention_lse_ref(
+        _to_bhsd(q).astype(jnp.float32),
+        _to_bhsd(k).astype(jnp.float32),
+        _to_bhsd(v).astype(jnp.float32),
+        mask=_window_mask(s, s, True, left, None),
+    )
+    assert max_err(lse, lse_ref) < 5e-2
+
+    # Gradients (rectangular bwd grid with band skipping) on one config.
+    if left == 200:
+        g = jnp.asarray(rng.standard_normal(q.shape), jnp.bfloat16)
+        mask = _window_mask(s, s, True, left, None)
+
+        def loss_kernel(q, k, v):
+            out = flash_attention(
+                q, k, v, causal=True, window_size=(left, 0),
+                block_sizes=bs,
+            )
+            return jnp.sum(out * g)
+
+        def loss_ref(q, k, v, upcast):
+            qb, kb, vb = map(_to_bhsd, (q, k, v))
+            o = attention_ref(qb, kb, vb, mask=mask, upcast=upcast)
+            return jnp.sum(jnp.transpose(o, (0, 2, 1, 3)) * g)
+
+        grads = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
+        g32 = jax.grad(
+            lambda *a: loss_ref(*a, upcast=True), argnums=(0, 1, 2)
+        )(q32, k32, v32)
+        gnat = jax.grad(
+            lambda *a: loss_ref(*a, upcast=False), argnums=(0, 1, 2)
+        )(q, k, v)
+        for name, gk, gr, gn in zip("qkv", grads, g32, gnat):
+            assert_two_x_bound(gk, gr, gn, atol=1e-3, label=f"d{name}")
+
+
+def test_window_banded_non_multiple_seqlen():
+    # Banded grid + bounds padding: S=1000 pads to 1024 with 128-tiles;
+    # the last row's diagonal carries causal+bounds masking together.
+    from flash_attn_tpu.kernels.block_sizes import BlockSizes
+
+    bs = BlockSizes(
+        block_q=128, block_k=128, block_q_dkv=128, block_k_dkv=128,
+        block_q_dq=128, block_k_dq=128,
+    )
+    rng = np.random.default_rng(10)
+    s = 1000
+    q, k, v = random_qkv(rng, 1, s, s, 2, 64, jnp.bfloat16)
+    out = flash_attention(
+        q, k, v, causal=True, window_size=(300, 0), block_sizes=bs
+    )
+    ref32, refnat = _refs(q, k, v, causal=True, left=300, right=None)
+    assert_two_x_bound(out, ref32, refnat, atol=1e-4, label="out")
+
+
 def test_window_module():
     from flash_attn_tpu.models.modules import FlashMHA
 
