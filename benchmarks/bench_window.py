@@ -31,11 +31,71 @@ def causal_flops(b, h, s, d, window_left=None):
     return 4 * b * h * pairs * d
 
 
+def bench_decode_window(md_lines=None):
+    """Rolling-KV decode at long context: window_left skips band-dead
+    pages, so per-step cost is O(window) not O(context)."""
+    from flash_attn_tpu.kernels.decode import paged_decode_attention
+
+    n_kv, d, page_size = 16, 128, 128
+    context = 32768
+    pages_per_seq = context // page_size
+    batch = 4
+    num_pages = batch * pages_per_seq + 1
+    rng = np.random.default_rng(2)
+    k_pages = jnp.asarray(
+        rng.standard_normal((n_kv, num_pages, page_size, d)), jnp.bfloat16
+    )
+    v_pages = jnp.asarray(
+        rng.standard_normal((n_kv, num_pages, page_size, d)), jnp.bfloat16
+    )
+    table = jnp.asarray(
+        1 + np.arange(batch * pages_per_seq).reshape(batch, pages_per_seq),
+        jnp.int32,
+    )
+    lengths = jnp.full((batch,), context, jnp.int32)
+    q = jnp.asarray(
+        rng.standard_normal((batch, n_kv, d)), jnp.bfloat16
+    )
+
+    print(f"\ndecode: batch={batch} context={context} "
+          f"h={n_kv} d={d} page={page_size}")
+    if md_lines is not None:
+        md_lines += [
+            "",
+            f"## Rolling-KV decode (batch={batch}, context={context}, "
+            f"h={n_kv}, d={d}, bf16 pages)",
+            "",
+            "| window | per-step time | speedup vs full |",
+            "|---|---|---|",
+        ]
+    t_full = None
+    for w in [None, 8192, 4096, 1024]:
+        f = jax.jit(functools.partial(
+            paged_decode_attention, window_left=w))
+
+        def step(q, kp, vp, ln, tbl, f=f):
+            # feed output back into q (same shape) to serialize the chain
+            return f(q, kp, vp, ln, tbl)
+
+        t = median_time(step, q, k_pages, v_pages, lengths, table,
+                        iters=5, chain=8)
+        if w is None:
+            t_full = t
+        label = "full" if w is None else str(w)
+        print(f"  window {label:>5}: {t * 1e3:7.3f} ms/step "
+              f"speedup {t_full / t:4.2f}x")
+        if md_lines is not None:
+            md_lines.append(
+                f"| {label} | {t * 1e3:.3f} ms | {t_full / t:.2f}x |"
+            )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seqlen", type=int, default=16384)
     ap.add_argument("--bwd", action="store_true")
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--no-decode", action="store_true")
     args = ap.parse_args()
 
     # On-device spot check before timing (CPU tests run interpret mode;
@@ -106,24 +166,28 @@ def main():
             tb = median_time(gr, q, k, v, iters=3, chain=4)
             print(f"{label:>12}  fwd+bwd: {tb * 1e3:7.2f} ms")
 
+    lines = [
+        "# Sliding-window attention (measured, single v5e chip)",
+        "",
+        f"Causal fwd, b={b} h={h} d={d} S={s}, bf16, `window_size=(w, 0)`.",
+        "TFLOP/s counts only visible pairs (band flops). Ideal speedup",
+        "= full-causal flops / band flops; the kernel operates on",
+        "128-row block granularity, so small windows pay band-edge",
+        "masking overhead.",
+        "",
+        "| config | time | TFLOP/s | speedup vs full | ideal |",
+        "|---|---|---|---|---|",
+    ]
+    for label, ms, tfl, sp, ideal in rows:
+        lines.append(
+            f"| {label} | {ms:.2f} ms | {tfl:.1f} | {sp:.2f}x |"
+            f" {ideal:.2f}x |"
+        )
+
+    if not args.no_decode:
+        bench_decode_window(md_lines=lines)
+
     if args.write_md:
-        lines = [
-            "# Sliding-window attention (measured, single v5e chip)",
-            "",
-            f"Causal fwd, b={b} h={h} d={d} S={s}, bf16, `window_size=(w, 0)`.",
-            "TFLOP/s counts only visible pairs (band flops). Ideal speedup",
-            "= full-causal flops / band flops; the kernel operates on",
-            "128-row block granularity, so small windows pay band-edge",
-            "masking overhead.",
-            "",
-            "| config | time | TFLOP/s | speedup vs full | ideal |",
-            "|---|---|---|---|---|",
-        ]
-        for label, ms, tfl, sp, ideal in rows:
-            lines.append(
-                f"| {label} | {ms:.2f} ms | {tfl:.1f} | {sp:.2f}x |"
-                f" {ideal:.2f}x |"
-            )
         with open("WINDOW.md", "w") as fh:
             fh.write("\n".join(lines) + "\n")
         print("wrote WINDOW.md")

@@ -54,6 +54,7 @@ def _decode_kernel(
     scale: float,
     group: int,
     n_kv_heads: int,
+    window_left: int | None,
 ):
     ppb = pages_per_block
     idx = 0
@@ -77,13 +78,22 @@ def _decode_kernel(
     hg = n_kv_heads * group
     bk = ppb * page_size  # kv block width per grid step
 
+    # Sliding window (rolling-KV decode): the single query sits at
+    # position length-1, so visible keys are pos >= length-1-window_left.
+    # Blocks entirely below the band are skipped.
+    live = j * bk < length
+    win_lo = None
+    if window_left is not None:
+        win_lo = length - 1 - window_left  # first visible position
+        live = live & ((j + 1) * bk > win_lo)
+
     @pl.when(j == 0)
     def _init():
         m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(j * bk < length)
+    @pl.when(live)
     def _compute():
         q = q_ref[0].astype(jnp.float32)  # (h, group, d)
         # Concatenate the ppb pages into one (h, bk, d) tile: a single wide
@@ -106,6 +116,8 @@ def _decode_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
         )
         mask = pos < length
+        if window_left is not None:
+            mask = mask & (pos >= win_lo)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[...]  # (hg, NUM_LANES)
@@ -158,6 +170,7 @@ def _decode_dma_kernel(
     scale: float,
     group: int,
     n_kv_heads: int,
+    window_left: int | None,
 ):
     idx = 0
     q_ref = refs[idx]
@@ -181,6 +194,17 @@ def _decode_dma_kernel(
     length = lengths_ref[b]
     hg = n_kv_heads * group
     bk = ppb * page_size
+
+    # Sliding window: skip blocks entirely below pos = length-1-window_left
+    # (see _decode_kernel). The double-buffered prefetch chain starts at
+    # the first LIVE block instead of block 0.
+    live = j * bk < length
+    win_lo = None
+    jlo = jnp.int32(0)
+    if window_left is not None:
+        win_lo = length - 1 - window_left
+        live = live & ((j + 1) * bk > win_lo)
+        jlo = jnp.maximum(win_lo, 0) // bk
 
     def block_copies(slot, blk):
         """Descriptors gathering block ``blk``'s pages into buffer ``slot``.
@@ -214,16 +238,19 @@ def _decode_dma_kernel(
         # Mirror _compute's guard: a batch element with length <= 0 never
         # waits on these copies, and un-awaited semaphore increments would
         # leak into the next batch element's waits (its compute could then
-        # read kbuf/vbuf before its own copy lands).
+        # read kbuf/vbuf before its own copy lands). With a window, the
+        # first live block is jlo, not 0.
         @pl.when(length > 0)
         def _():
-            for c in block_copies(0, 0):
+            for c in block_copies(jax.lax.rem(jlo, 2), jlo):
                 c.start()
 
-    @pl.when(j * bk < length)
+    @pl.when(live)
     def _compute():
         slot = jax.lax.rem(j, 2)
-        # Prefetch the next block while this one computes.
+        # Prefetch the next block while this one computes (a live j+1 is
+        # always inside the band's upper-contiguous range, so only the
+        # length bound needs checking).
         @pl.when((j + 1) * bk < length)
         def _():
             for c in block_copies(jax.lax.rem(j + 1, 2), j + 1):
@@ -245,6 +272,8 @@ def _decode_dma_kernel(
         s = s.reshape(hg, bk)
         pos = jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
         mask = pos < length
+        if window_left is not None:
+            mask = mask & (pos >= win_lo)
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[...]
@@ -282,7 +311,7 @@ def _decode_dma_kernel(
 
 def _paged_decode_dma(
     q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
-    *, softmax_scale, interpret,
+    *, softmax_scale, interpret, window_left=None,
 ):
     batch, n_kv_heads, group, d = q4.shape
     _, num_pages, page_size, _ = k_pages.shape
@@ -350,6 +379,7 @@ def _paged_decode_dma(
             scale=float(softmax_scale),
             group=group,
             n_kv_heads=n_kv_heads,
+            window_left=window_left,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -381,11 +411,17 @@ def paged_decode_attention(
     v_scales: jax.Array | None = None,
     softmax_scale: float | None = None,
     interpret: bool | None = None,
+    window_left: int | None = None,
 ) -> jax.Array:
     """Single-token decode against a paged (optionally quantized) KV cache.
 
     Returns (batch, n_q_heads, d) in the q dtype. GQA/MQA: n_q_heads must be
     a multiple of n_kv_heads; each kv head serves its query group.
+
+    ``window_left``: sliding-window (rolling-KV) decode — the query at
+    position length-1 attends only keys at pos >= length-1-window_left.
+    Pages entirely below the band are never fetched or computed, so decode
+    cost is O(window), not O(context).
     """
     batch, n_q_heads, d = q.shape
     n_kv_heads, num_pages, page_size, dk = k_pages.shape
@@ -404,10 +440,13 @@ def paged_decode_attention(
 
     # The manual-DMA path needs 128-lane-aligned page slices; head dims
     # below 128 use the BlockSpec pipeline instead.
+    if window_left is not None and window_left < 0:
+        raise ValueError(f"window_left must be >= 0, got {window_left}")
     if not interpret and d % 128 == 0:
         out = _paged_decode_dma(
             q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
             softmax_scale=softmax_scale, interpret=False,
+            window_left=window_left,
         )
         return out.reshape(batch, n_q_heads, d)
 
@@ -427,7 +466,16 @@ def paged_decode_attention(
 
     def page_map_i(i):
         def m(b_, j, tbl, ln):
-            return (0, tbl[b_, j * pages_per_block + i], 0, 0)
+            jj = j
+            if window_left is not None:
+                # Band-dead blocks are never computed: clamp their page
+                # fetch up to the first live block (reads only; adjacent
+                # equal indices let the pipeline elide the refetch).
+                lo_blk = jnp.maximum(ln[b_] - 1 - window_left, 0) // (
+                    pages_per_block * page_size
+                )
+                jj = jnp.maximum(j, lo_blk)
+            return (0, tbl[b_, jj * pages_per_block + i], 0, 0)
         return m
 
     page_specs = [
@@ -473,6 +521,7 @@ def paged_decode_attention(
             scale=float(softmax_scale),
             group=group,
             n_kv_heads=n_kv_heads,
+            window_left=window_left,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

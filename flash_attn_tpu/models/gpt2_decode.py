@@ -79,7 +79,12 @@ def prefill(
         q, k, v = _qkv(h, lp["attn"], cfg)
         ks.append(k)
         vs.append(v)
-        ctx = flash_attention(q, k, v, causal=True)
+        ctx = flash_attention(
+            q, k, v, causal=True,
+            window_size=(
+                None if cfg.window is None else (cfg.window, 0)
+            ),
+        )
         attn_out = _dense(ctx.reshape(b, s, cfg.n_embd), lp["attn"]["out_proj"])
         x = x + attn_out.astype(cfg.dtype)
         h = _layer_norm(
@@ -139,6 +144,7 @@ def decode_step(
             page_table,
             k_scales=cache.k_scales,
             v_scales=cache.v_scales,
+            window_left=cfg.window,
         )
         attn_out = _dense(ctx.reshape(b, cfg.n_embd), lp["attn"]["out_proj"])
         x = x + attn_out.astype(cfg.dtype)[:, None]

@@ -182,3 +182,71 @@ def test_page_allocator():
 
     with _pytest.raises(ValueError):
         alloc.alloc(2, 600)
+
+
+@pytest.mark.parametrize("window", [0, 64, 150, 2000])
+def test_paged_decode_window(window):
+    # Rolling-KV decode: the query at position ln-1 attends only keys at
+    # pos >= ln-1-window; oracle = dense attention over the band slice.
+    rng = np.random.default_rng(4)
+    n_kv, d, page_size, num_pages, pages_per_seq = 2, 64, 128, 16, 4
+    group = 2
+    lengths = [100, 512, 1, 300]
+    batch = len(lengths)
+    n_q = n_kv * group
+    q = jnp.asarray(rng.standard_normal((batch, n_q, d)), jnp.float32)
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, pages_per_seq
+    )
+    out = paged_decode_attention(
+        q, k_pages, v_pages, jnp.asarray(lengths, jnp.int32), table,
+        window_left=window,
+    )
+    for b, ln in enumerate(lengths):
+        lo = max(0, ln - 1 - window)
+        for hq in range(n_q):
+            hk = hq // group
+            ref = attention_ref(
+                q[b, hq][None, None, None],
+                dense_k[b][hk][None, None, lo:ln],
+                dense_v[b][hk][None, None, lo:ln],
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b, hq]), np.asarray(ref[0, 0, 0]),
+                atol=2e-5, rtol=1e-4, err_msg=f"b={b} hq={hq} w={window}",
+            )
+
+
+def test_paged_decode_window_quantized():
+    rng = np.random.default_rng(5)
+    n_kv, d, page_size, num_pages = 2, 64, 128, 8
+    lengths = [200, 384]
+    window = 96
+    batch = len(lengths)
+    q = jnp.asarray(rng.standard_normal((batch, n_kv, d)), jnp.float32)
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, 3
+    )
+    kq, ks = qz.quantize_pages(k_pages, "int8")
+    vq, vs = qz.quantize_pages(v_pages, "int8")
+    out = paged_decode_attention(
+        q, kq, vq, jnp.asarray(lengths, jnp.int32), table,
+        k_scales=ks, v_scales=vs, window_left=window,
+    )
+    kd = qz.dequantize_pages(kq, ks)
+    vd = qz.dequantize_pages(vq, vs)
+    for b, ln in enumerate(lengths):
+        lo = max(0, ln - 1 - window)
+        ids = np.asarray(table[b])
+        kk = jnp.concatenate([kd[:, i] for i in ids], axis=1)[:, :ln]
+        vv = jnp.concatenate([vd[:, i] for i in ids], axis=1)[:, :ln]
+        for h in range(n_kv):
+            ref = attention_ref(
+                q[b, h][None, None, None],
+                kk[h][None, None, lo:ln],
+                vv[h][None, None, lo:ln],
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b, h]), np.asarray(ref[0, 0, 0]),
+                atol=3e-5, rtol=1e-4, err_msg=f"b={b} h={h}",
+            )

@@ -266,3 +266,42 @@ def test_engine_submit_rejects_oversized_prompt():
     engine.submit(ok, max_new_tokens=3)
     finished = engine.run(max_steps=50)
     assert len(finished) == 1 and len(finished[0].generated) == 3
+
+
+def test_windowed_decode_matches_forward_teacher_forcing():
+    """cfg.window threads through FlashMHA (full forward), prefill, and
+    the paged rolling-KV decode — all three must agree."""
+    cfg = GPT2Config.tiny(dtype=jnp.float32, window=16)
+    model = GPT2LMHeadModel(cfg)
+    rng = np.random.default_rng(6)
+    prompt_len, n_decode = 40, 8
+    total = prompt_len + n_decode
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, total)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    logits_full = model.apply(params, ids)
+
+    hd = cfg.n_embd // cfg.n_head
+    page_size, pages = 128, 4
+    caches = [
+        init_cache(cfg.n_head, pages, page_size, hd, dtype=jnp.float32)
+        for _ in range(cfg.n_layer)
+    ]
+    logits_pre, ks, vs = prefill(params, cfg, ids[:, :prompt_len])
+    np.testing.assert_allclose(
+        np.asarray(logits_pre), np.asarray(logits_full[:, prompt_len - 1]),
+        atol=2e-3, rtol=1e-3,
+    )
+    page_ids = jnp.asarray([1], jnp.int32)
+    for li in range(cfg.n_layer):
+        caches[li] = write_prompt(caches[li], ks[li][0], vs[li][0], page_ids)
+    table = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+    lengths = jnp.asarray([prompt_len], jnp.int32)
+    for t in range(n_decode):
+        logits, caches = decode_step(
+            params, cfg, caches, table, lengths, ids[:, prompt_len + t]
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(logits_full[:, prompt_len + t]),
+            atol=2e-3, rtol=1e-3, err_msg=f"windowed decode step {t}",
+        )
+        lengths = lengths + 1
