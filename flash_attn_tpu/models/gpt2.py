@@ -46,6 +46,11 @@ class GPT2Config:
     layer_norm_epsilon: float = 1e-5
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    # Sliding-window (local causal) attention: each token attends the last
+    # `window` tokens only (None = full causal; GPT-2 checkpoints use
+    # None). Honored by training (FlashMHA window_size), prefill, and
+    # paged decode (rolling-KV band skip).
+    window: Any = None
 
     @classmethod
     def small(cls, **kw):
@@ -100,6 +105,9 @@ class Block(nn.Module):
                 attention_dropout=cfg.dropout,
                 dtype=cfg.dtype,
                 param_dtype=cfg.param_dtype,
+                window_size=(
+                    None if cfg.window is None else (cfg.window, 0)
+                ),
                 name="attn",
             )(h, deterministic=deterministic)
         else:
@@ -241,13 +249,20 @@ def param_shardings(params, mesh: Mesh):
 
 
 def make_sharded_model(cfg: GPT2Config, mesh: Mesh, interpret=None):
-    """GPT-2 whose attention runs under shard_map on the given mesh."""
+    """GPT-2 whose attention runs under shard_map on the given mesh.
+
+    ``cfg.window`` is honored: head-TP/DP sharding keeps the full
+    sequence on every shard, so the sliding-window band applies on
+    global positions unchanged."""
+    win = None if cfg.window is None else (cfg.window, 0)
     attn_eval = make_sharded_flash_attention(
-        mesh, causal=True, dropout_p=0.0, interpret=interpret
+        mesh, causal=True, dropout_p=0.0, window_size=win,
+        interpret=interpret,
     )
     attn_train = (
         make_sharded_flash_attention(
-            mesh, causal=True, dropout_p=cfg.dropout, interpret=interpret
+            mesh, causal=True, dropout_p=cfg.dropout, window_size=win,
+            interpret=interpret,
         )
         if cfg.dropout > 0.0
         else attn_eval
@@ -314,11 +329,14 @@ def make_seq_parallel_model(
     from flash_attn_tpu.parallel.ring import ring_flash_attention
 
     qkv_spec = P(data_axis, seq_axis, None, None)
+    # The ring masks on GLOBAL positions, so the sliding-window band is
+    # exact under the zigzag permutation too.
+    win = None if cfg.window is None else (cfg.window, 0)
 
     def _ring(q, k, v, seed):
         out, _ = ring_flash_attention(
             q, k, v, axis_name=seq_axis, causal=True, zigzag=True,
-            dropout_p=cfg.dropout, dropout_seed=seed,
+            dropout_p=cfg.dropout, dropout_seed=seed, window_size=win,
             interpret=interpret,
         )
         return out
@@ -327,7 +345,7 @@ def make_seq_parallel_model(
         del seed
         out, _ = ring_flash_attention(
             q, k, v, axis_name=seq_axis, causal=True, zigzag=True,
-            interpret=interpret,
+            window_size=win, interpret=interpret,
         )
         return out
 

@@ -105,6 +105,7 @@ class _RingCfg:
     zigzag: bool
     block_sizes: Optional[BlockSizes]
     interpret: Optional[bool]
+    window_size: Optional[tuple] = None
 
 
 def _merge_partials(o_a, lse_a, o_b, lse_b):
@@ -145,6 +146,7 @@ def ring_flash_attention(
     dropout_p: float = 0.0,
     dropout_seed: jax.Array | int | None = None,
     zigzag: bool = False,
+    window_size=None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -155,6 +157,12 @@ def ring_flash_attention(
     ``zigzag_permutation`` (balanced causal work per device); outputs come
     back in the same permuted layout.
 
+    ``window_size=(left, right)``: sliding-window attention. The band is
+    applied on GLOBAL positions (the per-pair kernels mask on the position
+    vectors), so it composes with both contiguous and zigzag layouts;
+    shard pairs entirely outside the band contribute lse=-inf partials
+    that merge to zero, and the kernels skip their dead blocks outright.
+
     Returns (o, lse). Differentiable w.r.t. (q, k, v) — gradients do not
     flow through the returned lse (a diagnostic/merge artifact)."""
     if dropout_p > 0.0 and dropout_seed is None:
@@ -164,9 +172,11 @@ def ring_flash_attention(
         if dropout_seed is None
         else jnp.asarray(dropout_seed).astype(jnp.uint32)
     )
+    if window_size is not None:
+        window_size = tuple(window_size)
     cfg = _RingCfg(
         axis_name, causal, softmax_scale, float(dropout_p), zigzag,
-        block_sizes, interpret,
+        block_sizes, interpret, window_size,
     )
     return _ring_core_p(cfg, q, k, v, seed)
 
@@ -214,6 +224,7 @@ def _ring_fwd(cfg: _RingCfg, q, k, v, seed):
             dropout_seed=(
                 _pair_seed(seed, my_idx, src) if cfg.dropout_p > 0.0 else None
             ),
+            window_size=cfg.window_size,
             block_sizes=cfg.block_sizes,
             return_lse=True,
             interpret=cfg.interpret,
@@ -275,6 +286,7 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
             dropout_seed=(
                 _pair_seed(seed, my_idx, src) if cfg.dropout_p > 0.0 else None
             ),
+            window_size=cfg.window_size,
             block_sizes=cfg.block_sizes,
             interpret=cfg.interpret,
         )

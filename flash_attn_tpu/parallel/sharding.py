@@ -37,12 +37,17 @@ def make_sharded_flash_attention(
     causal: bool = False,
     softmax_scale: Optional[float] = None,
     dropout_p: float = 0.0,
+    window_size=None,
     block_sizes: Optional[BlockSizes] = None,
     data_axis: str | None = "data",
     model_axis: str | None = "model",
     interpret: Optional[bool] = None,
 ):
     """Head-TP + DP sharded flash attention.
+
+    ``window_size`` (sliding-window attention) is safe under this sharding:
+    heads/batch are split but every shard sees the full sequence, so the
+    band is applied on global positions.
 
     Returns f(q, k, v, dropout_seed=None) on (batch, seq, heads, head_dim)
     arrays sharded P(data, None, model, None). Segment-id varlen accepts
@@ -73,6 +78,7 @@ def make_sharded_flash_attention(
             kv_positions=kpos,
             dropout_p=dropout_p,
             dropout_seed=seed,
+            window_size=window_size,
             block_sizes=block_sizes,
             interpret=interpret,
         )

@@ -70,3 +70,23 @@ def test_sharded_model_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
     )
+
+
+def test_sharded_model_window_matches_unsharded():
+    cfg = GPT2Config.tiny(dtype=jnp.float32, window=32)
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 128)), jnp.int32)
+
+    base = GPT2LMHeadModel(cfg)
+    params = base.init(jax.random.PRNGKey(0), ids)
+    ref = base.apply(params, ids)
+
+    sharded = make_sharded_model(cfg, mesh)
+    p_sh = jax.device_put(params, param_shardings(params, mesh))
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P("data", None)))
+    out = jax.jit(lambda p, x: sharded.apply(p, x))(p_sh, ids_sh)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
+    )

@@ -51,6 +51,35 @@ def test_seq_parallel_loss_matches_dense():
     np.testing.assert_allclose(got, ref_loss, rtol=2e-3)
 
 
+def test_seq_parallel_window_loss_matches_dense():
+    """cfg.window under zigzag ring SP: band masking is on global
+    positions, so the SP loss must match the dense windowed model."""
+    mesh = _mesh()
+    cfg = GPT2Config.tiny(n_layer=2, dropout=0.0, window=48)
+    rng = np.random.default_rng(2)
+    b, s = 2, 256
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+
+    dense = GPT2LMHeadModel(cfg)
+    params = dense.init(jax.random.PRNGKey(0), ids)
+    ref_loss = float(cross_entropy_loss(dense.apply(params, ids), ids))
+
+    sp = make_seq_parallel_model(cfg, mesh, interpret=True)
+    ids_z, labels_z, pos_z = zigzag_batch(ids, n_seq=4)
+    spec = NamedSharding(mesh, P("data", "seq"))
+    ids_z, labels_z, pos_z = (
+        jax.device_put(x, spec) for x in (ids_z, labels_z, pos_z)
+    )
+
+    @jax.jit
+    def sp_loss(params, ids_z, labels_z, pos_z):
+        logits = sp.apply(params, ids_z, positions=pos_z)
+        return cross_entropy_positionwise(logits, labels_z)
+
+    got = float(sp_loss(params, ids_z, labels_z, pos_z))
+    np.testing.assert_allclose(got, ref_loss, rtol=2e-3)
+
+
 def test_seq_parallel_train_step_reduces_loss():
     mesh = _mesh()
     cfg = GPT2Config.tiny(n_layer=2, dropout=0.1)

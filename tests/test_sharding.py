@@ -33,6 +33,24 @@ def test_head_tp_matches_single_device(mesh):
     )
 
 
+def test_head_tp_window_matches_single_device(mesh):
+    """Sliding window under head-TP: every shard holds the full sequence,
+    so the band must match the single-device windowed kernel exactly."""
+    rng = np.random.default_rng(7)
+    b, s, h, d = 4, 512, 8, 64
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    ref = flash_attention(q, k, v, causal=True, window_size=(128, 0))
+    f = make_sharded_flash_attention(
+        mesh, causal=True, window_size=(128, 0)
+    )
+    spec = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    out = jax.jit(f)(qs, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_head_tp_dropout_shard_seed_offsets(mesh):
     """Each (data, model) shard must run with seed + shard offsets — exact
     reproduction of every shard from single-device calls."""
@@ -206,6 +224,84 @@ def test_ring_zigzag_grads_match_dense(mesh):
 
     def loss(q, k, v):
         return jnp.sum(f(q[:, perm], k[:, perm], v[:, perm])[:, inv] * g)
+
+    dq, dk, dv = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=3e-5)
+
+
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_ring_window_matches_dense(mesh, zigzag):
+    """Sliding window over the ring: global-position band masking must
+    match the single-device windowed kernel, in both shard layouts
+    (shard pairs fully outside the band merge as lse=-inf partials)."""
+    from flash_attn_tpu.parallel.ring import (
+        inverse_permutation, zigzag_permutation,
+    )
+
+    rng = np.random.default_rng(8)
+    b, s, h, d = 2, 512, 2, 64
+    n_dev = 4
+    win = (96, 0)
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    ref = flash_attention(q, k, v, causal=True, window_size=win)
+
+    def ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, axis_name="model", causal=True, zigzag=zigzag,
+            window_size=win,
+        )
+        return out
+
+    f = shard_map(
+        ring,
+        mesh=mesh,
+        in_specs=(P(None, "model", None, None),) * 3,
+        out_specs=P(None, "model", None, None),
+        check_vma=False,
+    )
+    if zigzag:
+        perm = zigzag_permutation(s, n_dev)
+        inv = inverse_permutation(perm)
+        out = jax.jit(f)(q[:, perm], k[:, perm], v[:, perm])[:, inv]
+    else:
+        out = jax.jit(f)(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_ring_window_grads_match_dense(mesh):
+    rng = np.random.default_rng(9)
+    b, s, h, d = 1, 512, 2, 64
+    win = (128, 0)
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+    def ref_loss(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, window_size=win) * g
+        )
+
+    rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+
+    def ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, axis_name="model", causal=True, window_size=win
+        )
+        return out
+
+    f = shard_map(
+        ring,
+        mesh=mesh,
+        in_specs=(P(None, "model", None, None),) * 3,
+        out_specs=P(None, "model", None, None),
+        check_vma=False,
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(f(q, k, v) * g)
 
     dq, dk, dv = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
     np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=3e-5)
