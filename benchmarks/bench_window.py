@@ -31,6 +31,55 @@ def causal_flops(b, h, s, d, window_left=None):
     return 4 * b * h * pairs * d
 
 
+def spotcheck_decode_window_sinks():
+    """On-device correctness of the manual-DMA windowed decode (d=128,
+    compiled path — the CPU suite only exercises the BlockSpec path),
+    with and without attention sinks, vs a dense XLA oracle."""
+    from flash_attn_tpu.kernels.decode import paged_decode_attention
+
+    n_kv, d, page_size = 4, 128, 128
+    lengths = [700, 1024, 90]
+    batch, pages_per_seq = len(lengths), 8
+    num_pages = batch * pages_per_seq + 1
+    rng = np.random.default_rng(11)
+    k_pages = jnp.asarray(
+        rng.standard_normal((n_kv, num_pages, page_size, d)), jnp.float32
+    )
+    v_pages = jnp.asarray(
+        rng.standard_normal((n_kv, num_pages, page_size, d)), jnp.float32
+    )
+    table = jnp.asarray(
+        1 + np.arange(batch * pages_per_seq).reshape(batch, pages_per_seq),
+        jnp.int32,
+    )
+    q = jnp.asarray(rng.standard_normal((batch, n_kv, d)), jnp.float32)
+    ln = jnp.asarray(lengths, jnp.int32)
+
+    for window, sinks in [(256, 0), (256, 16), (256, 200)]:
+        out = np.asarray(paged_decode_attention(
+            q, k_pages, v_pages, ln, table,
+            window_left=window, num_sinks=sinks,
+        ))
+        for b, L in enumerate(lengths):
+            dense_k = np.concatenate(
+                [np.asarray(k_pages[:, i]) for i in np.asarray(table[b])],
+                axis=1)[:, :L]
+            dense_v = np.concatenate(
+                [np.asarray(v_pages[:, i]) for i in np.asarray(table[b])],
+                axis=1)[:, :L]
+            lo = max(0, L - 1 - window)
+            vis = [p for p in range(L) if p < sinks or p >= lo]
+            for h in range(n_kv):
+                s = dense_k[h][vis] @ np.asarray(q[b, h]) * (d ** -0.5)
+                p = np.exp(s - s.max())
+                ref = (p / p.sum()) @ dense_v[h][vis]
+                np.testing.assert_allclose(
+                    out[b, h], ref, atol=2e-5, rtol=1e-4,
+                    err_msg=f"w={window} sinks={sinks} b={b} h={h}",
+                )
+    print("decode window+sinks spot check (DMA path): OK")
+
+
 def bench_decode_window(md_lines=None):
     """Rolling-KV decode at long context: window_left skips band-dead
     pages, so per-step cost is O(window) not O(context)."""
@@ -185,6 +234,7 @@ def main():
         )
 
     if not args.no_decode:
+        spotcheck_decode_window_sinks()
         bench_decode_window(md_lines=lines)
 
     if args.write_md:

@@ -55,6 +55,7 @@ def _decode_kernel(
     group: int,
     n_kv_heads: int,
     window_left: int | None,
+    num_sinks: int,
 ):
     ppb = pages_per_block
     idx = 0
@@ -79,13 +80,17 @@ def _decode_kernel(
     bk = ppb * page_size  # kv block width per grid step
 
     # Sliding window (rolling-KV decode): the single query sits at
-    # position length-1, so visible keys are pos >= length-1-window_left.
-    # Blocks entirely below the band are skipped.
+    # position length-1, so visible keys are pos >= length-1-window_left,
+    # plus the first num_sinks positions (StreamingLLM attention sinks).
+    # Blocks entirely outside both regions are skipped.
     live = j * bk < length
     win_lo = None
     if window_left is not None:
-        win_lo = length - 1 - window_left  # first visible position
-        live = live & ((j + 1) * bk > win_lo)
+        win_lo = length - 1 - window_left  # first visible band position
+        band_or_sink = (j + 1) * bk > win_lo
+        if num_sinks > 0:
+            band_or_sink = band_or_sink | (j * bk < num_sinks)
+        live = live & band_or_sink
 
     @pl.when(j == 0)
     def _init():
@@ -117,7 +122,10 @@ def _decode_kernel(
         )
         mask = pos < length
         if window_left is not None:
-            mask = mask & (pos >= win_lo)
+            visible = pos >= win_lo
+            if num_sinks > 0:
+                visible = visible | (pos < num_sinks)
+            mask = mask & visible
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[...]  # (hg, NUM_LANES)
@@ -171,6 +179,7 @@ def _decode_dma_kernel(
     group: int,
     n_kv_heads: int,
     window_left: int | None,
+    num_sinks: int,
 ):
     idx = 0
     q_ref = refs[idx]
@@ -196,15 +205,40 @@ def _decode_dma_kernel(
     bk = ppb * page_size
 
     # Sliding window: skip blocks entirely below pos = length-1-window_left
-    # (see _decode_kernel). The double-buffered prefetch chain starts at
-    # the first LIVE block instead of block 0.
+    # (see _decode_kernel), except blocks holding the first num_sinks
+    # positions (attention sinks). Live blocks are [0, sink_blocks) u
+    # [jlo, ...); the double-buffered prefetch chain hops the dead middle.
+    # Buffer slots alternate on the LIVE-block ordinal, not on j — the j
+    # parity would collide across the sink->band jump when both ends land
+    # on the same parity, clobbering the buffer compute is reading.
     live = j * bk < length
     win_lo = None
     jlo = jnp.int32(0)
+    sink_blocks = -(-num_sinks // bk) if num_sinks > 0 else 0  # static
     if window_left is not None:
         win_lo = length - 1 - window_left
-        live = live & ((j + 1) * bk > win_lo)
+        band_or_sink = (j + 1) * bk > win_lo
+        if sink_blocks > 0:
+            band_or_sink = band_or_sink | (j < sink_blocks)
+        live = live & band_or_sink
         jlo = jnp.maximum(win_lo, 0) // bk
+
+    def live_ordinal(blk):
+        """Index of ``blk`` in the live-block sequence (valid for live
+        blocks; dead-middle blocks never call this)."""
+        if window_left is None:
+            return blk
+        skipped = jnp.maximum(jlo - sink_blocks, 0)
+        return jnp.where(blk >= jlo, blk - skipped, blk)
+
+    def next_live(blk):
+        """First live block after ``blk`` (ignoring the length bound)."""
+        if window_left is None:
+            return blk + 1
+        nxt_live = (blk + 2) * bk > win_lo  # blk+1 inside the band
+        if sink_blocks > 0:
+            nxt_live = nxt_live | (blk + 1 < sink_blocks)
+        return jnp.where(nxt_live, blk + 1, jnp.maximum(jlo, blk + 1))
 
     def block_copies(slot, blk):
         """Descriptors gathering block ``blk``'s pages into buffer ``slot``.
@@ -238,22 +272,25 @@ def _decode_dma_kernel(
         # Mirror _compute's guard: a batch element with length <= 0 never
         # waits on these copies, and un-awaited semaphore increments would
         # leak into the next batch element's waits (its compute could then
-        # read kbuf/vbuf before its own copy lands). With a window, the
-        # first live block is jlo, not 0.
+        # read kbuf/vbuf before its own copy lands). The first live block
+        # is 0 with sinks, else jlo; its live ordinal is 0 either way.
         @pl.when(length > 0)
         def _():
-            for c in block_copies(jax.lax.rem(jlo, 2), jlo):
+            first = jnp.int32(0) if sink_blocks > 0 else jlo
+            for c in block_copies(0, first):
                 c.start()
 
     @pl.when(live)
     def _compute():
-        slot = jax.lax.rem(j, 2)
-        # Prefetch the next block while this one computes (a live j+1 is
-        # always inside the band's upper-contiguous range, so only the
-        # length bound needs checking).
-        @pl.when((j + 1) * bk < length)
+        ordinal = live_ordinal(j)
+        slot = jax.lax.rem(ordinal, 2)
+        # Prefetch the next LIVE block while this one computes (hops the
+        # dead middle between the sink blocks and the band).
+        nxt = next_live(j)
+
+        @pl.when(nxt * bk < length)
         def _():
-            for c in block_copies(jax.lax.rem(j + 1, 2), j + 1):
+            for c in block_copies(jax.lax.rem(ordinal + 1, 2), nxt):
                 c.start()
 
         for c in block_copies(slot, j):
@@ -273,7 +310,10 @@ def _decode_dma_kernel(
         pos = jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
         mask = pos < length
         if window_left is not None:
-            mask = mask & (pos >= win_lo)
+            visible = pos >= win_lo
+            if num_sinks > 0:
+                visible = visible | (pos < num_sinks)
+            mask = mask & visible
         s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
         m_prev = m_ref[...]
@@ -311,7 +351,7 @@ def _decode_dma_kernel(
 
 def _paged_decode_dma(
     q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
-    *, softmax_scale, interpret, window_left=None,
+    *, softmax_scale, interpret, window_left=None, num_sinks=0,
 ):
     batch, n_kv_heads, group, d = q4.shape
     _, num_pages, page_size, _ = k_pages.shape
@@ -380,6 +420,7 @@ def _paged_decode_dma(
             group=group,
             n_kv_heads=n_kv_heads,
             window_left=window_left,
+            num_sinks=num_sinks,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -412,6 +453,7 @@ def paged_decode_attention(
     softmax_scale: float | None = None,
     interpret: bool | None = None,
     window_left: int | None = None,
+    num_sinks: int = 0,
 ) -> jax.Array:
     """Single-token decode against a paged (optionally quantized) KV cache.
 
@@ -422,6 +464,12 @@ def paged_decode_attention(
     position length-1 attends only keys at pos >= length-1-window_left.
     Pages entirely below the band are never fetched or computed, so decode
     cost is O(window), not O(context).
+
+    ``num_sinks``: StreamingLLM-style attention sinks — with a window, the
+    first num_sinks positions stay visible in addition to the band (the
+    softmax anchor that keeps long-rolling generation stable). Only the
+    sink pages and the band pages are fetched; the dead middle is skipped.
+    Ignored without ``window_left`` (full attention already covers them).
     """
     batch, n_q_heads, d = q.shape
     n_kv_heads, num_pages, page_size, dk = k_pages.shape
@@ -442,11 +490,14 @@ def paged_decode_attention(
     # below 128 use the BlockSpec pipeline instead.
     if window_left is not None and window_left < 0:
         raise ValueError(f"window_left must be >= 0, got {window_left}")
+    if num_sinks < 0:
+        raise ValueError(f"num_sinks must be >= 0, got {num_sinks}")
+    num_sinks = int(num_sinks) if window_left is not None else 0
     if not interpret and d % 128 == 0:
         out = _paged_decode_dma(
             q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
             softmax_scale=softmax_scale, interpret=False,
-            window_left=window_left,
+            window_left=window_left, num_sinks=num_sinks,
         )
         return out.reshape(batch, n_q_heads, d)
 
@@ -464,6 +515,10 @@ def paged_decode_attention(
         pages_max = pages_max + pad
     num_blocks = pages_max // pages_per_block
 
+    sink_blocks = (
+        -(-num_sinks // (pages_per_block * page_size)) if num_sinks else 0
+    )
+
     def page_map_i(i):
         def m(b_, j, tbl, ln):
             jj = j
@@ -471,10 +526,13 @@ def paged_decode_attention(
                 # Band-dead blocks are never computed: clamp their page
                 # fetch up to the first live block (reads only; adjacent
                 # equal indices let the pipeline elide the refetch).
+                # Sink blocks (j < sink_blocks) fetch their own pages.
                 lo_blk = jnp.maximum(ln[b_] - 1 - window_left, 0) // (
                     pages_per_block * page_size
                 )
                 jj = jnp.maximum(j, lo_blk)
+                if sink_blocks > 0:
+                    jj = jnp.where(j < sink_blocks, j, jj)
             return (0, tbl[b_, jj * pages_per_block + i], 0, 0)
         return m
 
@@ -522,6 +580,7 @@ def paged_decode_attention(
             group=group,
             n_kv_heads=n_kv_heads,
             window_left=window_left,
+            num_sinks=num_sinks,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

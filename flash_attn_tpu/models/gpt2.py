@@ -51,6 +51,12 @@ class GPT2Config:
     # None). Honored by training (FlashMHA window_size), prefill, and
     # paged decode (rolling-KV band skip).
     window: Any = None
+    # StreamingLLM attention sinks, DECODE-ONLY: with a window, keep the
+    # first `window_sinks` positions visible during paged decode (softmax
+    # anchor for long rolling generation). Inference technique — training
+    # and prefill keep the pure band mask, so outputs intentionally
+    # diverge from teacher forcing when nonzero.
+    window_sinks: int = 0
 
     @classmethod
     def small(cls, **kw):

@@ -145,6 +145,7 @@ def decode_step(
             k_scales=cache.k_scales,
             v_scales=cache.v_scales,
             window_left=cfg.window,
+            num_sinks=getattr(cfg, "window_sinks", 0),
         )
         attn_out = _dense(ctx.reshape(b, cfg.n_embd), lp["attn"]["out_proj"])
         x = x + attn_out.astype(cfg.dtype)[:, None]

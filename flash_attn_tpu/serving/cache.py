@@ -411,7 +411,29 @@ class PageAllocator:
         return page
 
     def release(self, seq_id: int) -> None:
-        self._free.extend(reversed(self._owned.pop(seq_id)))
+        self._free.extend(
+            p for p in reversed(self._owned.pop(seq_id)) if p != 0
+        )
+
+    def release_range(self, seq_id: int, start_page: int,
+                      end_page: int) -> int:
+        """Free logical pages [start_page, end_page) of a LIVE sequence
+        (streaming sliding-window serving: pages that fell out of the
+        attention band forever). Freed slots keep a page-0 placeholder so
+        logical indexing (extend / table_row) is unchanged; the decode
+        kernel never computes on out-of-band positions — at worst a live
+        block straddling the band edge fetches the placeholder page and
+        masks it. Returns the number of pages actually freed (idempotent:
+        already-freed slots are skipped; page 0 is reserved so the
+        placeholder is unambiguous)."""
+        pages = self._owned[seq_id]
+        freed = 0
+        for p in range(max(start_page, 0), min(end_page, len(pages))):
+            if pages[p] != 0:
+                self._free.append(pages[p])
+                pages[p] = 0
+                freed += 1
+        return freed
 
     def table_row(self, seq_id: int) -> list[int]:
         pages = self._owned[seq_id]

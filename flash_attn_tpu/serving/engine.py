@@ -74,6 +74,7 @@ class ServingEngine:
         temperature: float = 0.0,  # 0 = greedy argmax
         top_k: Optional[int] = None,  # with temperature > 0
         sample_seed: int = 0,
+        stream_free_pages: bool = True,
     ):
         self.params = params
         self.cfg = cfg
@@ -83,6 +84,11 @@ class ServingEngine:
         self.eos_token = eos_token
         self.temperature = float(temperature)
         self.top_k = top_k
+        # Streaming sliding-window serving: with cfg.window set, KV pages
+        # that fell out of the band (and are not sink pages) are returned
+        # to the shared pool mid-flight — per-sequence live memory is
+        # O(window + sinks), not O(context), raising effective capacity.
+        self._stream_free = bool(stream_free_pages) and cfg.window is not None
         hd = cfg.n_embd // cfg.n_head
         self.caches = [
             init_cache(
@@ -206,6 +212,22 @@ class ServingEngine:
     def _free_slots(self) -> list[int]:
         return [i for i in range(self.max_batch) if self.lengths[i] < 0]
 
+    def _reclaim_dead_pages(self, slot: int, req: Request) -> int:
+        """Free this sequence's pages that are forever below the decode
+        band: page p is dead once (p+1)*page_size <= length-1-window (the
+        band floor only moves forward) and p holds no sink positions.
+        Safe mid-flight — the decode kernel masks every out-of-band
+        position, even on fetched band-edge blocks."""
+        if not self._stream_free:
+            return 0
+        win_lo = int(self.lengths[slot]) - 1 - self.cfg.window
+        end = max(0, win_lo) // self.page_size
+        sinks = getattr(self.cfg, "window_sinks", 0) or 0
+        start = -(-sinks // self.page_size)
+        if end <= start:
+            return 0
+        return self.alloc.release_range(req.seq_id, start, end)
+
     def _admit(self) -> None:
         """Admit every pending request that fits (slot + pages) in ONE
         batched, bucketed prefill call."""
@@ -253,8 +275,11 @@ class ServingEngine:
         )
         for i, (slot, req, pages) in enumerate(batch):
             n = len(req.prompt)
-            self.page_table[slot] = self.alloc.table_row(req.seq_id)
             self.lengths[slot] = n
+            # Long prompts: pages already below the band are dead from the
+            # very first decode — reclaim before building the table row.
+            self._reclaim_dead_pages(slot, req)
+            self.page_table[slot] = self.alloc.table_row(req.seq_id)
             self.next_token[slot] = int(first[i])
             self.slot_req[slot] = req
             req.generated.append(int(first[i]))
@@ -267,11 +292,13 @@ class ServingEngine:
         self._admit()
         if not self.slot_req:
             return
-        # grow page tables where the next token crosses a page boundary
+        # grow page tables where the next token crosses a page boundary;
+        # reclaim pages that fell out of the sliding-window band
         for slot, req in list(self.slot_req.items()):
             new_len = int(self.lengths[slot]) + 1
             page = self.alloc.extend(req.seq_id, new_len + 1)
-            if page is not None:
+            freed = self._reclaim_dead_pages(slot, req)
+            if page is not None or freed:
                 self.page_table[slot] = self.alloc.table_row(req.seq_id)
         active = np.asarray(
             [s in self.slot_req for s in range(self.max_batch)]

@@ -184,6 +184,28 @@ def test_page_allocator():
         alloc.alloc(2, 600)
 
 
+def test_page_allocator_release_range():
+    # Streaming-window reclamation: free a live sequence's dead logical
+    # pages; placeholders keep logical indexing stable.
+    alloc = PageAllocator(num_pages=9, page_size=128, pages_per_seq=4)
+    pages = alloc.alloc(0, 450)  # 4 pages
+    assert alloc.free_pages == 4
+    assert alloc.release_range(0, 1, 3) == 2  # free logical pages 1, 2
+    assert alloc.free_pages == 6
+    row = alloc.table_row(0)
+    assert row[0] == pages[0] and row[3] == pages[3]
+    assert row[1] == 0 and row[2] == 0  # placeholders
+    # idempotent: already-freed slots are skipped
+    assert alloc.release_range(0, 0, 3) == 1  # only page 0 left to free
+    assert alloc.free_pages == 7
+    # extend still counts logical pages: 500 tokens need 4 pages and the
+    # placeholder slots still count, so no new page is assigned
+    assert alloc.extend(0, 500) is None
+    # release at retirement must not double-free placeholders
+    alloc.release(0)
+    assert alloc.free_pages == 8
+
+
 @pytest.mark.parametrize("window", [0, 64, 150, 2000])
 def test_paged_decode_window(window):
     # Rolling-KV decode: the query at position ln-1 attends only keys at
@@ -214,6 +236,49 @@ def test_paged_decode_window(window):
             np.testing.assert_allclose(
                 np.asarray(out[b, hq]), np.asarray(ref[0, 0, 0]),
                 atol=2e-5, rtol=1e-4, err_msg=f"b={b} hq={hq} w={window}",
+            )
+
+
+@pytest.mark.parametrize("window,sinks", [
+    (64, 4),        # sinks well below the band
+    (64, 130),      # sink region spans a block boundary (page_size=128)
+    (400, 64),      # band overlaps the sink region for short seqs
+    (64, 0),        # degenerate: sinks disabled
+])
+def test_paged_decode_window_sinks(window, sinks):
+    # StreamingLLM attention sinks: visible keys are the first `sinks`
+    # positions PLUS the rolling band; oracle = dense attention over the
+    # gathered visible slice.
+    rng = np.random.default_rng(10)
+    n_kv, d, page_size, num_pages, pages_per_seq = 2, 64, 128, 16, 4
+    group = 2
+    lengths = [100, 512, 1, 300]
+    batch = len(lengths)
+    n_q = n_kv * group
+    q = jnp.asarray(rng.standard_normal((batch, n_q, d)), jnp.float32)
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, pages_per_seq
+    )
+    out = paged_decode_attention(
+        q, k_pages, v_pages, jnp.asarray(lengths, jnp.int32), table,
+        window_left=window, num_sinks=sinks,
+    )
+    for b, ln in enumerate(lengths):
+        lo = max(0, ln - 1 - window)
+        vis = np.asarray(
+            [p for p in range(ln) if p < sinks or p >= lo], np.int32
+        )
+        for hq in range(n_q):
+            hk = hq // group
+            ref = attention_ref(
+                q[b, hq][None, None, None],
+                dense_k[b][hk][None, None, vis],
+                dense_v[b][hk][None, None, vis],
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b, hq]), np.asarray(ref[0, 0, 0]),
+                atol=2e-5, rtol=1e-4,
+                err_msg=f"b={b} hq={hq} w={window} sinks={sinks}",
             )
 
 

@@ -268,6 +268,37 @@ def test_engine_submit_rejects_oversized_prompt():
     assert len(finished) == 1 and len(finished[0].generated) == 3
 
 
+def test_engine_streaming_window_frees_pages():
+    """Streaming sliding-window serving: with cfg.window, pages that fell
+    out of the band return to the pool MID-FLIGHT, and freeing must not
+    change any generated token (dead pages are fully masked in decode)."""
+    cfg = GPT2Config.tiny(dtype=jnp.float32, window=32)
+    model = GPT2LMHeadModel(cfg)
+    rng = np.random.default_rng(13)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    prompt = list(rng.integers(0, cfg.vocab_size, size=200))
+
+    results = {}
+    for free in (False, True):
+        engine = ServingEngine(
+            params, cfg, max_batch=2, num_pages=16, page_size=128,
+            pages_per_seq=2, stream_free_pages=free,
+        )
+        engine.submit(prompt, max_new_tokens=12)
+        engine.step()  # admit + first decode
+        mid_free = engine.alloc.free_pages
+        finished = engine.run(max_steps=40)
+        assert len(finished) == 1 and len(finished[0].generated) == 12
+        results[free] = (mid_free, finished[0].generated)
+
+    # Prompt of 200 @ window 32: page 0 (positions 0..127) is dead from
+    # the first decode, so the streaming engine holds one page fewer.
+    assert results[True][0] == results[False][0] + 1
+    # ...without changing a single token.
+    assert results[True][1] == results[False][1]
+
+
 def test_windowed_decode_matches_forward_teacher_forcing():
     """cfg.window threads through FlashMHA (full forward), prefill, and
     the paged rolling-KV decode — all three must agree."""
