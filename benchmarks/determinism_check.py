@@ -63,6 +63,31 @@ def main():
         check("fwd+bwd grads + dropout regen", grads, q, k, v),
     ]
 
+    # ALiBi on-device correctness (the CPU suite runs interpret mode only):
+    # compiled fwd vs the XLA oracle at bf16 tolerance.
+    from flash_attn_tpu.ops.attention import alibi_slopes
+    from flash_attn_tpu.reference import attention_ref
+
+    slopes = alibi_slopes(h)
+    out_a = np.asarray(jax.jit(
+        lambda q, k, v: flash_attention(
+            q, k, v, causal=True, alibi_slopes=slopes
+        )
+    )(q, k, v)).astype(np.float32)
+    i_ = jnp.arange(s, dtype=jnp.float32)[:, None]
+    j_ = jnp.arange(s, dtype=jnp.float32)[None, :]
+    bias = slopes[None, :, None, None] * (j_ - i_)[None, None]
+    ref_a = attention_ref(
+        jnp.transpose(q, (0, 2, 1, 3)), jnp.transpose(k, (0, 2, 1, 3)),
+        jnp.transpose(v, (0, 2, 1, 3)), causal=True, bias=bias,
+    )
+    ref_a = np.asarray(jnp.transpose(ref_a, (0, 2, 1, 3))).astype(np.float32)
+    err_a = float(np.max(np.abs(out_a - ref_a)))
+    results.append(
+        ("alibi fwd vs oracle (max err %.1e, tol 2e-2)" % err_a,
+         err_a < 2e-2)
+    )
+
     # Streamed-dq (aliased) backward equivalence vs the VMEM-scratch mode
     # (compiled-only path; the interpreter cannot model the aliased RMW).
     # Shapes chosen so every dq block is revisited across MANY kv steps

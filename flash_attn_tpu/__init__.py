@@ -11,7 +11,7 @@ with quantized KV cache, and serving.
 """
 
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
-from flash_attn_tpu.ops.attention import flash_attention
+from flash_attn_tpu.ops.attention import alibi_slopes, flash_attention
 from flash_attn_tpu.ops.interface import (
     flash_attn_func,
     flash_attn_unpadded_func,
@@ -25,6 +25,7 @@ __version__ = "0.1.0"
 __all__ = [
     "BlockSizes",
     "flash_attention",
+    "alibi_slopes",
     "flash_attn_func",
     "flash_attn_unpadded_func",
     "flash_attn_unpadded_kvpacked_func",

@@ -112,6 +112,7 @@ def _fused_kernel(
     dq_alias: bool,
     window_left: int | None,
     window_right: int | None,
+    has_alibi: bool = False,
 ):
     """Single-pass backward: grid (b, h, ik, iq), K/V-stationary.
 
@@ -131,6 +132,9 @@ def _fused_kernel(
     idx = 0
     if p_drop > 0.0:
         seed_ref = refs[idx]
+        idx += 1
+    if has_alibi:
+        alibi_ref = refs[idx]  # (1, 1) SMEM: this head's slope / scale
         idx += 1
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[idx : idx + 6]
     idx += 6
@@ -191,6 +195,33 @@ def _fused_kernel(
             s, dp = ss[j], dps[j]
             lse2 = lse_col[sl] * jnp.float32(LOG2E)  # (bqs, 1)
             di_col = di_full[sl]
+
+            if has_alibi:
+                # Same ALiBi bias as the forward (slope pre-divided by
+                # scale; top-left/global-index distances, or position
+                # vectors with segments) so the recomputed p matches
+                # exactly. The bias is independent of q/k, so every
+                # gradient formula below is unchanged.
+                slope = alibi_ref[0, 0]
+                if has_segments:
+                    qp_a = qpos_ref[0][sl][:, None]
+                    kp_a = kpos_ref[0][None, :]
+                    dist = (
+                        (kp_a - qp_a) if causal else -jnp.abs(qp_a - kp_a)
+                    )
+                else:
+                    rows_a = jax.lax.broadcasted_iota(
+                        jnp.int32, (bqs, block_k), 0
+                    ) + row0
+                    cols_a = jax.lax.broadcasted_iota(
+                        jnp.int32, (bqs, block_k), 1
+                    ) + ik * block_k
+                    dist = (
+                        (cols_a - rows_a)
+                        if causal
+                        else -jnp.abs(rows_a - cols_a)
+                    )
+                s = s + slope * dist.astype(jnp.float32)
 
             rows = cols = None
             if p_drop > 0.0:
@@ -404,6 +435,7 @@ def flash_attention_bwd(
     dlse: jax.Array | None = None,  # (b, h, sq_pad) fp32 lse cotangent
     window_left: int | None = None,
     window_right: int | None = None,
+    alibi: jax.Array | None = None,  # (b, h) fp32, pre-divided by scale
 ):
     """Returns (dq, dk, dv) on the padded layout.
 
@@ -455,6 +487,15 @@ def flash_attention_bwd(
             pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
         ]
         seed_args = [dropout_seed.reshape(1, 1).astype(jnp.uint32)]
+    has_alibi = alibi is not None
+    if has_alibi:
+        seed_specs = seed_specs + [
+            pl.BlockSpec(
+                (1, 1), lambda b_, h_, *rest: (b_, h_),
+                memory_space=pltpu.SMEM,
+            )
+        ]
+        seed_args = seed_args + [alibi.astype(jnp.float32)]
 
     seg_args = []
     if has_segments:
@@ -550,6 +591,7 @@ def flash_attention_bwd(
             dq_alias=dq_alias,
             window_left=window_left,
             window_right=window_right,
+            has_alibi=has_alibi,
         ),
         grid=(b, h, nk, nq),
         in_specs=in_specs,

@@ -116,10 +116,14 @@ def _fwd_kernel(
     window_right: int | None,
     band_grid: bool,
     band_wb: int,
+    has_alibi: bool = False,
 ):
     idx = 0
     if p_drop > 0.0:
         seed_ref = refs[idx]
+        idx += 1
+    if has_alibi:
+        alibi_ref = refs[idx]  # (1, 1) SMEM: this head's slope / scale
         idx += 1
     q_ref, k_ref, v_ref = refs[idx : idx + 3]
     idx += 3
@@ -203,6 +207,38 @@ def _fwd_kernel(
             rows_sl = slice(j * bqs, (j + 1) * bqs)
             row0 = iq * block_q + j * bqs  # global first row of this chain
             s = ss[j]
+
+            if has_alibi:
+                # ALiBi (linear position bias): the slope arrives
+                # pre-divided by softmax_scale, so adding it to the raw
+                # QK^T keeps the exp2/scale fold intact
+                # ((s + slope/scale * dist) * c = s*scale*log2e +
+                # slope*dist*log2e). Distances use the same top-left /
+                # global-index convention as this library's causal mask
+                # (CUDA v2.4's bottom-right alignment differs only for
+                # sq != sk); with segments the caller-supplied positions
+                # are compared directly, so ALiBi is exact across ring
+                # shards and under custom alignments via positions.
+                slope = alibi_ref[0, 0]
+                if has_segments:
+                    qp_a = qpos_ref[0][rows_sl][:, None]
+                    kp_a = kpos_ref[0][None, :]
+                    dist = (
+                        (kp_a - qp_a) if causal else -jnp.abs(qp_a - kp_a)
+                    )
+                else:
+                    rows_a = jax.lax.broadcasted_iota(
+                        jnp.int32, (bqs, block_k), 0
+                    ) + row0
+                    cols_a = jax.lax.broadcasted_iota(
+                        jnp.int32, (bqs, block_k), 1
+                    ) + ik * block_k
+                    dist = (
+                        (cols_a - rows_a)
+                        if causal
+                        else -jnp.abs(rows_a - cols_a)
+                    )
+                s = s + slope * dist.astype(jnp.float32)
 
             # Dropout hashes on (bqs, 1) / (1, block_k) index *vectors*
             # (prng.hash_coords is separable so the row half is vector
@@ -381,6 +417,7 @@ def _fwd_kernel(
         and not has_segments
         and not bounds_possible
         and not windowed
+        and not has_alibi
         and block_q == block_k
         and p_drop == 0.0
         and mask_underflows
@@ -427,6 +464,7 @@ def _fwd_kernel(
         use_diag_band = (
             diag_specialization
             and not bounds_possible
+            and not has_alibi
             and block_q == block_k
             and p_drop == 0.0
             and mask_underflows
@@ -537,6 +575,7 @@ def flash_attention_fwd(
     save_lse: bool = True,
     window_left: int | None = None,
     window_right: int | None = None,
+    alibi: jax.Array | None = None,  # (b, h) fp32, pre-divided by scale
 ):
     """Launch the forward kernel on block-aligned inputs.
 
@@ -689,6 +728,15 @@ def flash_attention_fwd(
             )
         )
         args.append(dropout_seed.reshape(1, 1).astype(jnp.uint32))
+    has_alibi = alibi is not None
+    if has_alibi:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, 1), lambda b_, h_, *rest: (b_, h_),
+                memory_space=pltpu.SMEM,
+            )
+        )
+        args.append(alibi.astype(jnp.float32))
 
     in_specs += [
         pl.BlockSpec((1, 1, bq, d), q_index, memory_space=pltpu.VMEM),
@@ -768,6 +816,7 @@ def flash_attention_fwd(
         window_right=window_right,
         band_grid=band_grid,
         band_wb=band_wb,
+        has_alibi=has_alibi,
     )
 
     flops_mask = 0.5 if causal else 1.0

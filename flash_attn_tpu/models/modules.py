@@ -52,6 +52,10 @@ class FlashAttention(nn.Module):
     # Sliding-window (left, right) band; None entries unbounded. See
     # ops.attention.flash_attention. Dense/padded modes only.
     window_size: Optional[tuple] = None
+    # ALiBi: True -> standard geometric slopes per head; or an explicit
+    # (h,) array. Dense/padded modes only.
+    use_alibi: bool = False
+    alibi_slopes: Optional[jax.Array] = None
 
     @nn.compact
     def __call__(
@@ -68,6 +72,11 @@ class FlashAttention(nn.Module):
         if dropout_p > 0.0:
             seed = _seed_from_rng_key(self.make_rng("dropout"))
 
+        slopes = self.alibi_slopes
+        if self.use_alibi and slopes is None:
+            from flash_attn_tpu.ops.attention import alibi_slopes as mk
+            slopes = mk(qkv.shape[-2])
+
         if cu_seqlens is not None:
             assert qkv.ndim == 4, "packed qkv must be (nnz, 3, h, d)"
             if max_s is None:
@@ -75,6 +84,11 @@ class FlashAttention(nn.Module):
             if self.window_size is not None:
                 raise ValueError(
                     "window_size is not supported on the cu_seqlens path; "
+                    "use the padded mode (segment-id masking) instead"
+                )
+            if slopes is not None:
+                raise ValueError(
+                    "ALiBi is not supported on the cu_seqlens path; "
                     "use the padded mode (segment-id masking) instead"
                 )
             return flash_attn_unpadded_qkvpacked_func(
@@ -100,6 +114,7 @@ class FlashAttention(nn.Module):
             dropout_seed=seed,
             block_sizes=self.block_sizes,
             window_size=self.window_size,
+            alibi_slopes=slopes,
         )
 
 
@@ -119,6 +134,7 @@ class FlashMHA(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     block_sizes: Optional[BlockSizes] = None
     window_size: Optional[tuple] = None  # sliding-window (left, right)
+    use_alibi: bool = False  # standard geometric per-head ALiBi slopes
 
     def setup(self):
         if self.embed_dim % self.num_heads != 0:
@@ -150,6 +166,7 @@ class FlashMHA(nn.Module):
             attention_dropout=self.attention_dropout,
             block_sizes=self.block_sizes,
             window_size=self.window_size,
+            use_alibi=self.use_alibi,
         )
         self.out_proj = nn.Dense(
             self.embed_dim, use_bias=self.bias, dtype=self.dtype,
@@ -192,6 +209,10 @@ class FlashMHA(nn.Module):
         seg = pos = None
         if key_padding_mask is not None:
             seg, pos = make_segment_ids_from_mask(key_padding_mask)
+        slopes = None
+        if self.use_alibi:
+            from flash_attn_tpu.ops.attention import alibi_slopes as mk
+            slopes = mk(hq)
         context = flash_attention(
             q, k, v,
             causal=self.causal,
@@ -204,5 +225,6 @@ class FlashMHA(nn.Module):
             dropout_seed=seed,
             block_sizes=self.block_sizes,
             window_size=self.window_size,
+            alibi_slopes=slopes,
         )
         return self.out_proj(context.reshape(b, s, self.embed_dim))

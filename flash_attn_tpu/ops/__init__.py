@@ -1,3 +1,3 @@
-from flash_attn_tpu.ops.attention import flash_attention
+from flash_attn_tpu.ops.attention import alibi_slopes, flash_attention
 
-__all__ = ["flash_attention"]
+__all__ = ["alibi_slopes", "flash_attention"]

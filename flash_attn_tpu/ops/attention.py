@@ -61,6 +61,7 @@ class _Config:
     interpret: bool
     window_left: int | None = None
     window_right: int | None = None
+    has_alibi: bool = False
 
 
 def _parse_window(window_size, causal: bool):
@@ -100,14 +101,51 @@ def _parse_window(window_size, causal: bool):
     return left, right
 
 
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """The standard ALiBi geometric slope schedule (Press et al. 2022):
+    for power-of-two head counts, slope_i = 2^(-8(i+1)/n); otherwise the
+    paper's interpolation (closest power of two plus every other slope of
+    the doubled schedule). Returns (n_heads,) fp32, ready for
+    ``flash_attention(alibi_slopes=...)``."""
+    import math
+
+    def pow2(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start ** (i + 1) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        s = pow2(n_heads)
+    else:
+        closest = 2 ** math.floor(math.log2(n_heads))
+        s = pow2(closest) + pow2(2 * closest)[0::2][: n_heads - closest]
+    return jnp.asarray(s, jnp.float32)
+
+
+def _norm_alibi(alibi_slopes, b, h, softmax_scale):
+    """Validate/broadcast slopes to (b, h) fp32 and pre-divide by the
+    softmax scale so the kernels can add the bias to the RAW QK^T without
+    breaking the folded exp2/scale constant."""
+    if alibi_slopes is None:
+        return None
+    a = jnp.asarray(alibi_slopes, jnp.float32)
+    if a.shape == (h,):
+        a = jnp.broadcast_to(a[None], (b, h))
+    elif a.shape != (b, h):
+        raise ValueError(
+            f"alibi_slopes must have shape ({h},) or ({b}, {h}); "
+            f"got {a.shape}"
+        )
+    return a / jnp.float32(softmax_scale)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash_core(cfg: _Config, q, k, v, seg, seed):
+def _flash_core(cfg: _Config, q, k, v, seg, seed, alibi):
     # Primal (inference) path: skip materializing the LSE tensor.
-    out, _ = _core_fwd_impl(cfg, q, k, v, seg, seed, save_lse=False)
+    out, _ = _core_fwd_impl(cfg, q, k, v, seg, seed, alibi, save_lse=False)
     return out
 
 
-def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed, save_lse=True):
+def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed, alibi, save_lse=True):
     qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
     return flash_attention_fwd(
         q,
@@ -128,16 +166,17 @@ def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed, save_lse=True):
         save_lse=save_lse,
         window_left=cfg.window_left,
         window_right=cfg.window_right,
+        alibi=alibi,
     )
 
 
-def _core_fwd_vjp(cfg, q, k, v, seg, seed):
-    out, lse = _core_fwd_impl(cfg, q, k, v, seg, seed)
-    return out, (q, k, v, seg, seed, out, lse)
+def _core_fwd_vjp(cfg, q, k, v, seg, seed, alibi):
+    out, lse = _core_fwd_impl(cfg, q, k, v, seg, seed, alibi)
+    return out, (q, k, v, seg, seed, alibi, out, lse)
 
 
 def _core_bwd_vjp(cfg, residuals, dout):
-    q, k, v, seg, seed, out, lse = residuals
+    q, k, v, seg, seed, alibi, out, lse = residuals
     qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
     dq, dk, dv = flash_attention_bwd(
         q,
@@ -160,15 +199,16 @@ def _core_bwd_vjp(cfg, residuals, dout):
         interpret=cfg.interpret,
         window_left=cfg.window_left,
         window_right=cfg.window_right,
+        alibi=alibi,
     )
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None, None, None
 
 
 _flash_core.defvjp(_core_fwd_vjp, _core_bwd_vjp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _flash_core_lse(cfg: _Config, q, k, v, seg, seed):
+def _flash_core_lse(cfg: _Config, q, k, v, seg, seed, alibi):
     """(out, lse) variant that is differentiable through BOTH outputs.
 
     The lse cotangent folds exactly into the backward's di correction
@@ -176,17 +216,17 @@ def _flash_core_lse(cfg: _Config, q, k, v, seg, seed):
     ``return_lse=True`` match the unfused oracle — the reference's
     softmax_lse return (flash_attn_interface.py:17-26) was fwd-only.
     """
-    return _core_fwd_impl(cfg, q, k, v, seg, seed)
+    return _core_fwd_impl(cfg, q, k, v, seg, seed, alibi)
 
 
-def _core_lse_fwd_vjp(cfg, q, k, v, seg, seed):
-    out, lse = _core_fwd_impl(cfg, q, k, v, seg, seed)
-    return (out, lse), (q, k, v, seg, seed, out, lse)
+def _core_lse_fwd_vjp(cfg, q, k, v, seg, seed, alibi):
+    out, lse = _core_fwd_impl(cfg, q, k, v, seg, seed, alibi)
+    return (out, lse), (q, k, v, seg, seed, alibi, out, lse)
 
 
 def _core_lse_bwd_vjp(cfg, residuals, cotangents):
     dout, dlse = cotangents
-    q, k, v, seg, seed, out, lse = residuals
+    q, k, v, seg, seed, alibi, out, lse = residuals
     qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
     dq, dk, dv = flash_attention_bwd(
         q,
@@ -210,8 +250,9 @@ def _core_lse_bwd_vjp(cfg, residuals, cotangents):
         dlse=dlse,
         window_left=cfg.window_left,
         window_right=cfg.window_right,
+        alibi=alibi,
     )
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None, None, None
 
 
 _flash_core_lse.defvjp(_core_lse_fwd_vjp, _core_lse_bwd_vjp)
@@ -236,6 +277,7 @@ def flash_attention_bwd_bshd(
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
     window_size: tuple[int | None, int | None] | None = None,
+    alibi_slopes: jax.Array | None = None,
 ):
     """Standalone backward with an externally-supplied logsumexp.
 
@@ -321,6 +363,7 @@ def flash_attention_bwd_bshd(
             window_left = None
         if window_right is not None and window_right >= sk - 1:
             window_right = None
+    alibi = _norm_alibi(alibi_slopes, b, h, softmax_scale)
     dq, dk, dv = flash_attention_bwd(
         qp, kp, vp, op, dop, lse_p,
         *seg_args,
@@ -334,6 +377,7 @@ def flash_attention_bwd_bshd(
         interpret=interpret,
         window_left=window_left,
         window_right=window_right,
+        alibi=alibi,
     )
     unpack_q = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :sq, :, :d]  # noqa: E731
     unpack_k = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :sk, :, :d]  # noqa: E731
@@ -358,6 +402,7 @@ def flash_attention(
     interpret: bool | None = None,
     layout: str = "bshd",
     window_size: tuple[int | None, int | None] | None = None,
+    alibi_slopes: jax.Array | None = None,
 ):
     """Fused flash attention. O = dropout(softmax(scale * Q K^T + mask)) V.
 
@@ -387,6 +432,15 @@ def flash_attention(
       Band-dead blocks are skipped by the kernels, so cost scales with the
       band width, not the sequence length. E.g. ``causal=True,
       window_size=(4095, 0)`` is Mistral-style local causal attention.
+    - ``alibi_slopes``: (h,) or (b, h) fp32 per-head ALiBi slopes (the
+      CUDA flash_attn v2.4 feature): bias -slope * (i - j) is added to
+      the scaled scores for causal attention and -slope * |i - j|
+      otherwise. Distances use global indices — the same top-left
+      convention as this library's causal mask (the CUDA v2 bottom-right
+      alignment differs only when sq != sk; pass positions via the
+      segment path for custom alignments). ``alibi_slopes(n_heads)`` in
+      this module builds the standard geometric schedule. Slopes are
+      constants (no gradient flows to them), matching the CUDA semantics.
     """
     if q.dtype == jnp.float16:
         # fp16 envelope (the reference is fp16-primary, fmha_api.cpp:136):
@@ -402,6 +456,7 @@ def flash_attention(
             dropout_p=dropout_p, dropout_seed=dropout_seed,
             block_sizes=block_sizes, return_lse=return_lse,
             interpret=interpret, layout=layout, window_size=window_size,
+            alibi_slopes=alibi_slopes,
         )
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
@@ -512,6 +567,7 @@ def flash_attention(
         seed = jnp.zeros((), jnp.uint32)
     else:
         seed = jnp.asarray(dropout_seed).astype(jnp.uint32)
+    alibi = _norm_alibi(alibi_slopes, b, h, softmax_scale)
 
     cfg = _Config(
         sq=sq,
@@ -524,6 +580,7 @@ def flash_attention(
         interpret=interpret,
         window_left=window_left,
         window_right=window_right,
+        has_alibi=alibi is not None,
     )
 
     def unpack(out):
@@ -532,7 +589,7 @@ def flash_attention(
         return out[:, :, :sq, :d]
 
     if return_lse:
-        out, lse = _flash_core_lse(cfg, qp, kp, vp, seg, seed)
+        out, lse = _flash_core_lse(cfg, qp, kp, vp, seg, seed, alibi)
         return unpack(out), lse[:, :, :sq]
 
-    return unpack(_flash_core(cfg, qp, kp, vp, seg, seed))
+    return unpack(_flash_core(cfg, qp, kp, vp, seg, seed, alibi))
