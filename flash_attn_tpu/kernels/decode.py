@@ -56,11 +56,15 @@ def _decode_kernel(
     n_kv_heads: int,
     window_left: int | None,
     num_sinks: int,
+    has_alibi: bool = False,
 ):
     ppb = pages_per_block
     idx = 0
     q_ref = refs[idx]
     idx += 1
+    if has_alibi:
+        alibi_ref = refs[idx]  # (hg, 1) fp32 per-q-head slopes
+        idx += 1
     k_refs = refs[idx : idx + ppb]
     idx += ppb
     if quantized:
@@ -120,6 +124,11 @@ def _decode_kernel(
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
         )
+        if has_alibi:
+            # The single query sits at position length-1; scores here are
+            # already scale-multiplied, so the bias adds directly:
+            # -slope * (q_pos - key_pos).
+            s = s + alibi_ref[...] * (pos - (length - 1)).astype(jnp.float32)
         mask = pos < length
         if window_left is not None:
             visible = pos >= win_lo
@@ -180,10 +189,14 @@ def _decode_dma_kernel(
     n_kv_heads: int,
     window_left: int | None,
     num_sinks: int,
+    has_alibi: bool = False,
 ):
     idx = 0
     q_ref = refs[idx]
     idx += 1
+    if has_alibi:
+        alibi_ref = refs[idx]  # (hg, 1) fp32 per-q-head slopes
+        idx += 1
     k_hbm, v_hbm = refs[idx : idx + 2]
     idx += 2
     if quantized:
@@ -308,6 +321,9 @@ def _decode_dma_kernel(
             s = s * ksbuf[slot]  # (h, 1, bk) broadcasts over group
         s = s.reshape(hg, bk)
         pos = jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
+        if has_alibi:
+            # Scores are scale-multiplied already; add -slope*(qpos-kpos).
+            s = s + alibi_ref[...] * (pos - (length - 1)).astype(jnp.float32)
         mask = pos < length
         if window_left is not None:
             visible = pos >= win_lo
@@ -352,6 +368,7 @@ def _decode_dma_kernel(
 def _paged_decode_dma(
     q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
     *, softmax_scale, interpret, window_left=None, num_sinks=0,
+    alibi=None,
 ):
     batch, n_kv_heads, group, d = q4.shape
     _, num_pages, page_size, _ = k_pages.shape
@@ -384,10 +401,19 @@ def _paged_decode_dma(
             (1, n_kv_heads, group, d), lambda b_, j, tbl, ln: (b_, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+    ]
+    args = [q4]
+    if alibi is not None:
+        in_specs.append(pl.BlockSpec(
+            (hg, 1), lambda b_, j, tbl, ln: (0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(alibi.reshape(hg, 1).astype(jnp.float32))
+    in_specs += [
         pl.BlockSpec(memory_space=pltpu.ANY),  # k_pages stay in HBM
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
-    args = [q4, k_pages, v_pages]
+    args += [k_pages, v_pages]
     if quantized:
         in_specs += [
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -421,6 +447,7 @@ def _paged_decode_dma(
             n_kv_heads=n_kv_heads,
             window_left=window_left,
             num_sinks=num_sinks,
+            has_alibi=alibi is not None,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -454,6 +481,7 @@ def paged_decode_attention(
     interpret: bool | None = None,
     window_left: int | None = None,
     num_sinks: int = 0,
+    alibi_slopes: jax.Array | None = None,
 ) -> jax.Array:
     """Single-token decode against a paged (optionally quantized) KV cache.
 
@@ -470,6 +498,11 @@ def paged_decode_attention(
     softmax anchor that keeps long-rolling generation stable). Only the
     sink pages and the band pages are fetched; the dead middle is skipped.
     Ignored without ``window_left`` (full attention already covers them).
+
+    ``alibi_slopes``: (n_q_heads,) fp32 ALiBi slopes — bias
+    -slope * (q_pos - key_pos) with the query at position length-1
+    (serving path for ALiBi models; matches ops.attention's training
+    semantics).
     """
     batch, n_q_heads, d = q.shape
     n_kv_heads, num_pages, page_size, dk = k_pages.shape
@@ -493,11 +526,19 @@ def paged_decode_attention(
     if num_sinks < 0:
         raise ValueError(f"num_sinks must be >= 0, got {num_sinks}")
     num_sinks = int(num_sinks) if window_left is not None else 0
+    alibi = None
+    if alibi_slopes is not None:
+        alibi = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi.shape != (n_q_heads,):
+            raise ValueError(
+                f"alibi_slopes must have shape ({n_q_heads},); "
+                f"got {alibi.shape}"
+            )
     if not interpret and d % 128 == 0:
         out = _paged_decode_dma(
             q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
             softmax_scale=softmax_scale, interpret=False,
-            window_left=window_left, num_sinks=num_sinks,
+            window_left=window_left, num_sinks=num_sinks, alibi=alibi,
         )
         return out.reshape(batch, n_q_heads, d)
 
@@ -551,14 +592,22 @@ def paged_decode_attention(
         for i in range(pages_per_block)
     ]
 
+    hg = n_kv_heads * group
     in_specs = [
         pl.BlockSpec(
             (1, n_kv_heads, group, d), lambda b_, j, tbl, ln: (b_, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        *page_specs,
     ]
-    args = [q4] + [k_pages] * pages_per_block
+    args = [q4]
+    if alibi is not None:
+        in_specs.append(pl.BlockSpec(
+            (hg, 1), lambda b_, j, tbl, ln: (0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(alibi.reshape(hg, 1))
+    in_specs += [*page_specs]
+    args += [k_pages] * pages_per_block
     if quantized:
         in_specs += scale_specs
         args += [k_scales.astype(jnp.float32)] * pages_per_block
@@ -581,6 +630,7 @@ def paged_decode_attention(
             n_kv_heads=n_kv_heads,
             window_left=window_left,
             num_sinks=num_sinks,
+            has_alibi=alibi is not None,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

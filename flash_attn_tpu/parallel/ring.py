@@ -147,6 +147,7 @@ def ring_flash_attention(
     dropout_seed: jax.Array | int | None = None,
     zigzag: bool = False,
     window_size=None,
+    alibi_slopes: jax.Array | None = None,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ):
@@ -163,6 +164,10 @@ def ring_flash_attention(
     shard pairs entirely outside the band contribute lse=-inf partials
     that merge to zero, and the kernels skip their dead blocks outright.
 
+    ``alibi_slopes``: (h,) or (b_local, h) per-head ALiBi slopes; the bias
+    compares GLOBAL positions inside each pair kernel, so the merged
+    result equals single-device ALiBi attention (zigzag included).
+
     Returns (o, lse). Differentiable w.r.t. (q, k, v) — gradients do not
     flow through the returned lse (a diagnostic/merge artifact)."""
     if dropout_p > 0.0 and dropout_seed is None:
@@ -174,19 +179,24 @@ def ring_flash_attention(
     )
     if window_size is not None:
         window_size = tuple(window_size)
+    alibi = (
+        None
+        if alibi_slopes is None
+        else jnp.asarray(alibi_slopes, jnp.float32)
+    )
     cfg = _RingCfg(
         axis_name, causal, softmax_scale, float(dropout_p), zigzag,
         block_sizes, interpret, window_size,
     )
-    return _ring_core_p(cfg, q, k, v, seed)
+    return _ring_core_p(cfg, q, k, v, seed, alibi)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _ring_core_p(cfg, q, k, v, seed):
-    return _ring_fwd(cfg, q, k, v, seed)
+def _ring_core_p(cfg, q, k, v, seed, alibi):
+    return _ring_fwd(cfg, q, k, v, seed, alibi)
 
 
-def _ring_fwd(cfg: _RingCfg, q, k, v, seed):
+def _ring_fwd(cfg: _RingCfg, q, k, v, seed, alibi):
     axis_name = cfg.axis_name
     n_dev = jax.lax.axis_size(axis_name)
     my_idx = jax.lax.axis_index(axis_name)
@@ -225,6 +235,7 @@ def _ring_fwd(cfg: _RingCfg, q, k, v, seed):
                 _pair_seed(seed, my_idx, src) if cfg.dropout_p > 0.0 else None
             ),
             window_size=cfg.window_size,
+            alibi_slopes=alibi,
             block_sizes=cfg.block_sizes,
             return_lse=True,
             interpret=cfg.interpret,
@@ -237,9 +248,9 @@ def _ring_fwd(cfg: _RingCfg, q, k, v, seed):
     return o_acc.astype(q.dtype), lse_acc
 
 
-def _ring_fwd_vjp(cfg: _RingCfg, q, k, v, seed):
-    out, lse = _ring_fwd(cfg, q, k, v, seed)
-    return (out, lse), (q, k, v, seed, out, lse)
+def _ring_fwd_vjp(cfg: _RingCfg, q, k, v, seed, alibi):
+    out, lse = _ring_fwd(cfg, q, k, v, seed, alibi)
+    return (out, lse), (q, k, v, seed, alibi, out, lse)
 
 
 def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
@@ -251,7 +262,7 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
     plus one final hop deliver them to the shard's home device."""
     from flash_attn_tpu.ops.attention import flash_attention_bwd_bshd
 
-    q, k, v, seed, out, lse = residuals
+    q, k, v, seed, alibi, out, lse = residuals
     dout, _dlse = cot  # gradients do not flow through lse
     dout = dout.astype(q.dtype)
 
@@ -287,6 +298,7 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
                 _pair_seed(seed, my_idx, src) if cfg.dropout_p > 0.0 else None
             ),
             window_size=cfg.window_size,
+            alibi_slopes=alibi,
             block_sizes=cfg.block_sizes,
             interpret=cfg.interpret,
         )
@@ -306,6 +318,7 @@ def _ring_bwd_vjp(cfg: _RingCfg, residuals, cot):
         dq_acc.astype(q.dtype),
         dkv[0].astype(k.dtype),
         dkv[1].astype(v.dtype),
+        None,
         None,
     )
 

@@ -38,6 +38,7 @@ def make_sharded_flash_attention(
     softmax_scale: Optional[float] = None,
     dropout_p: float = 0.0,
     window_size=None,
+    alibi_slopes=None,
     block_sizes: Optional[BlockSizes] = None,
     data_axis: str | None = "data",
     model_axis: str | None = "model",
@@ -49,14 +50,28 @@ def make_sharded_flash_attention(
     heads/batch are split but every shard sees the full sequence, so the
     band is applied on global positions.
 
+    ``alibi_slopes``: (h_total,) fp32 per-head ALiBi slopes; they shard
+    along the model axis with the heads, so each shard biases its own
+    heads with the right slopes.
+
     Returns f(q, k, v, dropout_seed=None) on (batch, seq, heads, head_dim)
     arrays sharded P(data, None, model, None). Segment-id varlen accepts
     (batch, seq) arrays sharded P(data, None).
     """
+    import jax.numpy as _jnp
+
     qkv_spec = P(data_axis, None, model_axis, None)
     seg_spec = P(data_axis, None)
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        alibi_slopes = _jnp.asarray(alibi_slopes, _jnp.float32)
+        if alibi_slopes.ndim != 1:
+            raise ValueError(
+                "sharded alibi_slopes must be a flat (h_total,) array; "
+                f"got shape {alibi_slopes.shape}"
+            )
 
-    def _attn(q, k, v, qseg, kseg, qpos, kpos, seed):
+    def _attn(q, k, v, qseg, kseg, qpos, kpos, seed, slopes):
         import jax.numpy as jnp
 
         # Decorrelate dropout across shards: the kernel keys its mask on
@@ -79,6 +94,7 @@ def make_sharded_flash_attention(
             dropout_p=dropout_p,
             dropout_seed=seed,
             window_size=window_size,
+            alibi_slopes=slopes if has_alibi else None,
             block_sizes=block_sizes,
             interpret=interpret,
         )
@@ -90,6 +106,7 @@ def make_sharded_flash_attention(
             qkv_spec, qkv_spec, qkv_spec,
             seg_spec, seg_spec, seg_spec, seg_spec,
             P(),
+            P(model_axis) if has_alibi else P(),
         ),
         out_specs=qkv_spec,
         check_vma=False,
@@ -118,9 +135,12 @@ def make_sharded_flash_attention(
             seed = jnp.zeros((), jnp.uint32)
         else:
             seed = jnp.asarray(dropout_seed).astype(jnp.uint32)
+        slopes = (
+            alibi_slopes if has_alibi else jnp.zeros((), jnp.float32)
+        )
         return sharded(
             q, k, v, q_segment_ids, kv_segment_ids, q_positions,
-            kv_positions, seed,
+            kv_positions, seed, slopes,
         )
 
     return call

@@ -180,6 +180,76 @@ def test_alibi_window_combo():
     )
 
 
+def test_ring_alibi_matches_dense():
+    """ALiBi over the zigzag ring: the bias compares global positions, so
+    the merged result must equal single-device ALiBi attention."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from flash_attn_tpu.parallel.ring import (
+        inverse_permutation, ring_flash_attention, zigzag_permutation,
+    )
+
+    rng = np.random.default_rng(7)
+    b, s, h, d = 1, 512, 2, 64
+    n_dev = 4
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    slopes = alibi_slopes(h)
+    ref = flash_attention(q, k, v, causal=True, alibi_slopes=slopes)
+
+    devices = np.asarray(jax.devices()[:n_dev])
+    mesh = Mesh(devices, axis_names=("sp",))
+
+    def ring(q, k, v):
+        out, _ = ring_flash_attention(
+            q, k, v, axis_name="sp", causal=True, zigzag=True,
+            alibi_slopes=slopes,
+        )
+        return out
+
+    f = shard_map(
+        ring,
+        mesh=mesh,
+        in_specs=(P(None, "sp", None, None),) * 3,
+        out_specs=P(None, "sp", None, None),
+        check_vma=False,
+    )
+    perm = zigzag_permutation(s, n_dev)
+    inv = inverse_permutation(perm)
+    out = jax.jit(f)(q[:, perm], k[:, perm], v[:, perm])[:, inv]
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_head_tp_alibi_matches_dense():
+    """Head-TP sharded ALiBi: slopes shard along the model axis with the
+    heads, so each shard biases its heads with the right slopes."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from flash_attn_tpu.parallel.sharding import (
+        make_sharded_flash_attention,
+    )
+
+    rng = np.random.default_rng(8)
+    b, s, h, d = 2, 256, 8, 64
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    slopes = alibi_slopes(h)
+    ref = flash_attention(q, k, v, causal=True, alibi_slopes=slopes)
+
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, axis_names=("data", "model"))
+    f = make_sharded_flash_attention(
+        mesh, causal=True, alibi_slopes=slopes
+    )
+    spec = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    out = jax.jit(f)(qs, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_flash_mha_alibi_runs():
     from flash_attn_tpu.models.modules import FlashMHA
 

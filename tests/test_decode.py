@@ -282,6 +282,45 @@ def test_paged_decode_window_sinks(window, sinks):
             )
 
 
+def test_paged_decode_alibi():
+    """ALiBi decode: bias -slope*(q_pos - key_pos) with the query at
+    position length-1; oracle = biased dense attention on the slice."""
+    from flash_attn_tpu.ops.attention import alibi_slopes
+
+    rng = np.random.default_rng(11)
+    n_kv, d, page_size, num_pages, pages_per_seq = 2, 64, 128, 16, 4
+    group = 2
+    lengths = [100, 512, 1, 300]
+    batch = len(lengths)
+    n_q = n_kv * group
+    slopes = alibi_slopes(n_q)
+    q = jnp.asarray(rng.standard_normal((batch, n_q, d)), jnp.float32)
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, pages_per_seq
+    )
+    out = paged_decode_attention(
+        q, k_pages, v_pages, jnp.asarray(lengths, jnp.int32), table,
+        alibi_slopes=slopes,
+    )
+    for b, ln in enumerate(lengths):
+        for hq in range(n_q):
+            hk = hq // group
+            bias = (
+                -float(slopes[hq])
+                * (ln - 1 - jnp.arange(ln, dtype=jnp.float32))
+            )[None, None, None, :]  # (1,1,1,ln) broadcasting over sq=1
+            ref = attention_ref(
+                q[b, hq][None, None, None],
+                dense_k[b][hk][None, None, :ln],
+                dense_v[b][hk][None, None, :ln],
+                bias=bias,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out[b, hq]), np.asarray(ref[0, 0, 0]),
+                atol=2e-5, rtol=1e-4, err_msg=f"b={b} hq={hq}",
+            )
+
+
 def test_paged_decode_window_quantized():
     rng = np.random.default_rng(5)
     n_kv, d, page_size, num_pages = 2, 64, 128, 8
