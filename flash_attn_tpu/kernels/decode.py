@@ -57,6 +57,7 @@ def _decode_kernel(
     window_left: int | None,
     num_sinks: int,
     has_alibi: bool = False,
+    softcap: float | None = None,
 ):
     ppb = pages_per_block
     idx = 0
@@ -121,6 +122,10 @@ def _decode_kernel(
             ks = jnp.concatenate([r[:, 0] for r in ks_refs], axis=-1)
             s = s * ks.reshape(n_kv_heads, 1, bk)  # broadcasts over group
         s = s.reshape(hg, bk)
+        if softcap is not None:
+            # Logit soft-capping (scores here are already
+            # scale-multiplied): cap * tanh(s / cap), before bias/mask.
+            s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
         )
@@ -190,6 +195,7 @@ def _decode_dma_kernel(
     window_left: int | None,
     num_sinks: int,
     has_alibi: bool = False,
+    softcap: float | None = None,
 ):
     idx = 0
     q_ref = refs[idx]
@@ -320,6 +326,9 @@ def _decode_dma_kernel(
         if quantized:
             s = s * ksbuf[slot]  # (h, 1, bk) broadcasts over group
         s = s.reshape(hg, bk)
+        if softcap is not None:
+            # Soft-capping before bias/mask (scores already scaled).
+            s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
         pos = jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
         if has_alibi:
             # Scores are scale-multiplied already; add -slope*(qpos-kpos).
@@ -368,7 +377,7 @@ def _decode_dma_kernel(
 def _paged_decode_dma(
     q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
     *, softmax_scale, interpret, window_left=None, num_sinks=0,
-    alibi=None,
+    alibi=None, softcap=None,
 ):
     batch, n_kv_heads, group, d = q4.shape
     _, num_pages, page_size, _ = k_pages.shape
@@ -448,6 +457,7 @@ def _paged_decode_dma(
             window_left=window_left,
             num_sinks=num_sinks,
             has_alibi=alibi is not None,
+            softcap=softcap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -482,6 +492,7 @@ def paged_decode_attention(
     window_left: int | None = None,
     num_sinks: int = 0,
     alibi_slopes: jax.Array | None = None,
+    softcap: float | None = None,
 ) -> jax.Array:
     """Single-token decode against a paged (optionally quantized) KV cache.
 
@@ -503,6 +514,10 @@ def paged_decode_attention(
     -slope * (q_pos - key_pos) with the query at position length-1
     (serving path for ALiBi models; matches ops.attention's training
     semantics).
+
+    ``softcap``: logit soft-capping ``cap * tanh(s / cap)`` on the scaled
+    scores, before bias/masking (serving path for Gemma-2-style models;
+    matches ops.attention's training semantics).
     """
     batch, n_q_heads, d = q.shape
     n_kv_heads, num_pages, page_size, dk = k_pages.shape
@@ -534,11 +549,15 @@ def paged_decode_attention(
                 f"alibi_slopes must have shape ({n_q_heads},); "
                 f"got {alibi.shape}"
             )
+    if softcap is not None and softcap <= 0.0:
+        raise ValueError(f"softcap must be > 0, got {softcap}")
+    softcap = None if softcap is None else float(softcap)
     if not interpret and d % 128 == 0:
         out = _paged_decode_dma(
             q4, k_pages, v_pages, lengths, page_table, k_scales, v_scales,
             softmax_scale=softmax_scale, interpret=False,
             window_left=window_left, num_sinks=num_sinks, alibi=alibi,
+            softcap=softcap,
         )
         return out.reshape(batch, n_q_heads, d)
 
@@ -631,6 +650,7 @@ def paged_decode_attention(
             window_left=window_left,
             num_sinks=num_sinks,
             has_alibi=alibi is not None,
+            softcap=softcap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

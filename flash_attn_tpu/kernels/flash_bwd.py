@@ -113,6 +113,7 @@ def _fused_kernel(
     window_left: int | None,
     window_right: int | None,
     has_alibi: bool = False,
+    softcap: float | None = None,
 ):
     """Single-pass backward: grid (b, h, ik, iq), K/V-stationary.
 
@@ -196,6 +197,19 @@ def _fused_kernel(
             lse2 = lse_col[sl] * jnp.float32(LOG2E)  # (bqs, 1)
             di_col = di_full[sl]
 
+            cap_gate = None
+            if softcap is not None:
+                # Same soft-capping transform as the forward (pre-scale
+                # units: s' = (cap/scale) * tanh(s * scale/cap), applied
+                # before the ALiBi bias) so the recomputed p matches.
+                # Chain rule through the cap: d(capped)/d(u) =
+                # 1 - tanh^2(u/cap) = 1 - (s' * scale/cap)^2 — saved here
+                # (from the PRE-bias capped score) and multiplied into ds
+                # below.
+                t1 = jnp.float32(scale / softcap)
+                s = jnp.tanh(s * t1) * jnp.float32(softcap / scale)
+                cap_gate = 1.0 - jnp.square(s * t1)
+
             if has_alibi:
                 # Same ALiBi bias as the forward (slope pre-divided by
                 # scale; top-left/global-index distances, or position
@@ -269,6 +283,8 @@ def _fused_kernel(
                 preferred_element_type=jnp.float32,
             )
             ds = p * (dp - di_col)  # unscaled; *scale applied at finalize
+            if cap_gate is not None:
+                ds = ds * cap_gate
             qj = q_ref[0, 0, sl, :]
             dk_acc[...] += jax.lax.dot_general(
                 ds.astype(qj.dtype), qj,
@@ -436,6 +452,7 @@ def flash_attention_bwd(
     window_left: int | None = None,
     window_right: int | None = None,
     alibi: jax.Array | None = None,  # (b, h) fp32, pre-divided by scale
+    softcap: float | None = None,
 ):
     """Returns (dq, dk, dv) on the padded layout.
 
@@ -592,6 +609,7 @@ def flash_attention_bwd(
             window_left=window_left,
             window_right=window_right,
             has_alibi=has_alibi,
+            softcap=None if softcap is None else float(softcap),
         ),
         grid=(b, h, nk, nq),
         in_specs=in_specs,

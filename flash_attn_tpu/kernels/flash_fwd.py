@@ -117,6 +117,7 @@ def _fwd_kernel(
     band_grid: bool,
     band_wb: int,
     has_alibi: bool = False,
+    softcap: float | None = None,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -207,6 +208,19 @@ def _fwd_kernel(
             rows_sl = slice(j * bqs, (j + 1) * bqs)
             row0 = iq * block_q + j * bqs  # global first row of this chain
             s = ss[j]
+
+            if softcap is not None:
+                # Logit soft-capping (Gemma-2 / CUDA flash_attn v2.6
+                # softcap): cap * tanh(u / cap) on the SCALED score u.
+                # The kernel carries s in pre-scale units (scale folds
+                # into the exp2 constant c below), so the transform is
+                # s' = (cap/scale) * tanh(s * scale/cap): then
+                # s' * scale = cap * tanh(u / cap) exactly. Applied
+                # before the ALiBi bias and before masking (a capped
+                # DEFAULT_MASK_VALUE would stop underflowing).
+                s = jnp.tanh(s * jnp.float32(scale / softcap)) * jnp.float32(
+                    softcap / scale
+                )
 
             if has_alibi:
                 # ALiBi (linear position bias): the slope arrives
@@ -418,6 +432,7 @@ def _fwd_kernel(
         and not bounds_possible
         and not windowed
         and not has_alibi
+        and softcap is None
         and block_q == block_k
         and p_drop == 0.0
         and mask_underflows
@@ -465,6 +480,7 @@ def _fwd_kernel(
             diag_specialization
             and not bounds_possible
             and not has_alibi
+            and softcap is None
             and block_q == block_k
             and p_drop == 0.0
             and mask_underflows
@@ -576,6 +592,7 @@ def flash_attention_fwd(
     window_left: int | None = None,
     window_right: int | None = None,
     alibi: jax.Array | None = None,  # (b, h) fp32, pre-divided by scale
+    softcap: float | None = None,
 ):
     """Launch the forward kernel on block-aligned inputs.
 
@@ -817,6 +834,7 @@ def flash_attention_fwd(
         band_grid=band_grid,
         band_wb=band_wb,
         has_alibi=has_alibi,
+        softcap=None if softcap is None else float(softcap),
     )
 
     flops_mask = 0.5 if causal else 1.0

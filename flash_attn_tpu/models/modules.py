@@ -56,6 +56,9 @@ class FlashAttention(nn.Module):
     # (h,) array. Dense/padded modes only.
     use_alibi: bool = False
     alibi_slopes: Optional[jax.Array] = None
+    # Logit soft-capping: scaled scores pass through cap*tanh(s/cap)
+    # (Gemma-2 style). See ops.attention.flash_attention.
+    softcap: Optional[float] = None
 
     @nn.compact
     def __call__(
@@ -115,6 +118,7 @@ class FlashAttention(nn.Module):
             block_sizes=self.block_sizes,
             window_size=self.window_size,
             alibi_slopes=slopes,
+            softcap=self.softcap,
         )
 
 
@@ -135,6 +139,7 @@ class FlashMHA(nn.Module):
     block_sizes: Optional[BlockSizes] = None
     window_size: Optional[tuple] = None  # sliding-window (left, right)
     use_alibi: bool = False  # standard geometric per-head ALiBi slopes
+    softcap: Optional[float] = None  # logit soft-capping (Gemma-2 style)
 
     def setup(self):
         if self.embed_dim % self.num_heads != 0:
@@ -167,6 +172,7 @@ class FlashMHA(nn.Module):
             block_sizes=self.block_sizes,
             window_size=self.window_size,
             use_alibi=self.use_alibi,
+            softcap=self.softcap,
         )
         self.out_proj = nn.Dense(
             self.embed_dim, use_bias=self.bias, dtype=self.dtype,
@@ -226,5 +232,6 @@ class FlashMHA(nn.Module):
             block_sizes=self.block_sizes,
             window_size=self.window_size,
             alibi_slopes=slopes,
+            softcap=self.softcap,
         )
         return self.out_proj(context.reshape(b, s, self.embed_dim))

@@ -62,6 +62,7 @@ class _Config:
     window_left: int | None = None
     window_right: int | None = None
     has_alibi: bool = False
+    softcap: float | None = None
 
 
 def _parse_window(window_size, causal: bool):
@@ -167,6 +168,7 @@ def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed, alibi, save_lse=True):
         window_left=cfg.window_left,
         window_right=cfg.window_right,
         alibi=alibi,
+        softcap=cfg.softcap,
     )
 
 
@@ -200,6 +202,7 @@ def _core_bwd_vjp(cfg, residuals, dout):
         window_left=cfg.window_left,
         window_right=cfg.window_right,
         alibi=alibi,
+        softcap=cfg.softcap,
     )
     return dq, dk, dv, None, None, None
 
@@ -251,6 +254,7 @@ def _core_lse_bwd_vjp(cfg, residuals, cotangents):
         window_left=cfg.window_left,
         window_right=cfg.window_right,
         alibi=alibi,
+        softcap=cfg.softcap,
     )
     return dq, dk, dv, None, None, None
 
@@ -278,6 +282,7 @@ def flash_attention_bwd_bshd(
     interpret: bool | None = None,
     window_size: tuple[int | None, int | None] | None = None,
     alibi_slopes: jax.Array | None = None,
+    softcap: float | None = None,
 ):
     """Standalone backward with an externally-supplied logsumexp.
 
@@ -378,6 +383,7 @@ def flash_attention_bwd_bshd(
         window_left=window_left,
         window_right=window_right,
         alibi=alibi,
+        softcap=None if softcap is None else float(softcap),
     )
     unpack_q = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :sq, :, :d]  # noqa: E731
     unpack_k = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :sk, :, :d]  # noqa: E731
@@ -403,6 +409,7 @@ def flash_attention(
     layout: str = "bshd",
     window_size: tuple[int | None, int | None] | None = None,
     alibi_slopes: jax.Array | None = None,
+    softcap: float | None = None,
 ):
     """Fused flash attention. O = dropout(softmax(scale * Q K^T + mask)) V.
 
@@ -441,6 +448,11 @@ def flash_attention(
       segment path for custom alignments). ``alibi_slopes(n_heads)`` in
       this module builds the standard geometric schedule. Slopes are
       constants (no gradient flows to them), matching the CUDA semantics.
+    - ``softcap``: logit soft-capping (Gemma-2 style; the CUDA flash_attn
+      v2.6 feature): the scaled scores pass through
+      ``softcap * tanh(s / softcap)`` before the ALiBi bias and masking,
+      bounding every logit to (-softcap, softcap). Differentiable (the
+      backward applies the tanh chain rule in-kernel). Must be > 0.
     """
     if q.dtype == jnp.float16:
         # fp16 envelope (the reference is fp16-primary, fmha_api.cpp:136):
@@ -456,7 +468,7 @@ def flash_attention(
             dropout_p=dropout_p, dropout_seed=dropout_seed,
             block_sizes=block_sizes, return_lse=return_lse,
             interpret=interpret, layout=layout, window_size=window_size,
-            alibi_slopes=alibi_slopes,
+            alibi_slopes=alibi_slopes, softcap=softcap,
         )
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
@@ -485,6 +497,8 @@ def flash_attention(
         raise ValueError(f"dropout_p must be in [0, 1), got {dropout_p}")
     if dropout_p > 0.0 and dropout_seed is None:
         raise ValueError("dropout_p > 0 requires dropout_seed")
+    if softcap is not None and softcap <= 0.0:
+        raise ValueError(f"softcap must be > 0, got {softcap}")
     window_left, window_right = _parse_window(window_size, causal)
 
     has_segments = q_segment_ids is not None
@@ -581,6 +595,7 @@ def flash_attention(
         window_left=window_left,
         window_right=window_right,
         has_alibi=alibi is not None,
+        softcap=None if softcap is None else float(softcap),
     )
 
     def unpack(out):

@@ -81,6 +81,7 @@ def attention_ref(
     dropout_p: float = 0.0,
     upcast: bool = True,
     return_attn_probs: bool = False,
+    softcap: float | None = None,
 ):
     """Reference attention on (batch, heads, seq, head_dim) inputs.
 
@@ -103,6 +104,12 @@ def attention_ref(
     sq, sk = q.shape[-2], k.shape[-2]
     scores = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32)
     scores = scores * jnp.float32(softmax_scale)
+    if softcap is not None:
+        # Logit soft-capping (Gemma-2 style): cap * tanh(s / cap), applied
+        # to the scaled scores BEFORE any additive bias / masking.
+        scores = jnp.float32(softcap) * jnp.tanh(
+            scores / jnp.float32(softcap)
+        )
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
     full_mask = None
