@@ -1,0 +1,371 @@
+"""Multi-token paged attention: a chunk of queries vs the paged KV cache.
+
+The serving-side generalization of kernels/decode.py from one query token
+to ``sq`` tokens per sequence — the compute core of chunked prefill (long
+prompts processed in cache-resident chunks) and speculative-decoding
+verification (score k draft tokens in one dispatch). This is the
+TPU-native analog of the CUDA package's ``flash_attn_with_kvcache``
+entry point (the reference snapshot predates it; the contract is defined
+by the upstream interface: q of length >= 1 attends a cache of
+``cache_seqlens`` tokens with causal alignment at the sequence tail).
+
+Layout (mirrors decode.py):
+  q:        (batch, sq, n_q_heads, d) — the chunk, already rotary'd etc.
+  k_pages:  (n_kv_heads, num_pages, page_size, d)   bf16 / int8 / fp8
+  k_scales: (n_kv_heads, num_pages, 1, page_size) fp32, or None
+  lengths:  (batch,) int32 — total valid tokens INCLUDING the chunk
+  chunk_lens: (batch,) int32 — valid chunk rows (<= sq; rest padding)
+  page_tbl: (batch, pages_per_seq_max) int32
+
+Query row t of sequence b sits at global position
+``lengths[b] - chunk_lens[b] + t`` (the chunk is the tail of the cached
+sequence; its K/V must already be written — serving/kvcache.py pairs the
+write with this compute). Causality is always enforced against that
+position; masking, ALiBi, softcap and the sliding window follow
+ops/attention semantics.
+
+Grid (batch, kv_block): one step covers ``pages_per_block`` pages for all
+kv heads and all chunk rows at once — scores are one
+(n_kv * group * sq, block) tile, so the MXU sees wide batched dots
+instead of sq separate decode dispatches. Dead key blocks (beyond the
+sequence, or below the window band of every chunk row) redirect their
+page fetch and skip compute.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flash_attn_tpu.kernels.common import (
+    DEFAULT_MASK_VALUE,
+    default_interpret,
+)
+
+
+def _chunk_kernel(
+    page_tbl_ref,  # scalar prefetch (batch, pages_max)
+    lengths_ref,  # scalar prefetch (batch,)
+    chunk_lens_ref,  # scalar prefetch (batch,)
+    *refs,
+    page_size: int,
+    num_blocks: int,
+    pages_per_block: int,
+    quantized: bool,
+    scale: float,
+    group: int,
+    n_kv_heads: int,
+    sq: int,
+    window_left: int | None,
+    has_alibi: bool,
+    softcap: float | None,
+):
+    ppb = pages_per_block
+    idx = 0
+    q_ref = refs[idx]  # (1, n_kv, group*sq, d)
+    idx += 1
+    if has_alibi:
+        alibi_ref = refs[idx]  # (rows, 1) fp32 per-ROW slopes
+        idx += 1
+    k_refs = refs[idx : idx + ppb]
+    idx += ppb
+    if quantized:
+        ks_refs = refs[idx : idx + ppb]
+        idx += ppb
+    v_refs = refs[idx : idx + ppb]
+    idx += ppb
+    if quantized:
+        vs_refs = refs[idx : idx + ppb]
+        idx += ppb
+    o_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 4]
+
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    length = lengths_ref[b]
+    chunk_len = chunk_lens_ref[b]
+    gq = group * sq
+    rows = n_kv_heads * gq
+    bk = ppb * page_size
+    first_qpos = length - chunk_len  # global position of chunk row 0
+
+    # Block liveness: some key column must be (a) inside the sequence and
+    # (b) causally visible from some chunk row, i.e. <= the LAST row's
+    # position (= length - 1), and (c) inside some row's window band —
+    # the weakest bound is the last row's: pos >= length - 1 - left.
+    live = j * bk < length
+    if window_left is not None:
+        live = live & ((j + 1) * bk > length - 1 - window_left)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, DEFAULT_MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)  # (n_kv, gq, d)
+        k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(
+            jnp.float32
+        )  # (n_kv, bk, d)
+        # Batched over kv heads: (n_kv, gq, d) x (n_kv, bk, d) ->
+        # (n_kv, gq, bk) — every chunk row and group member in one dot.
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * jnp.float32(scale)
+        if quantized:
+            ks = jnp.concatenate([r[:, 0] for r in ks_refs], axis=-1)
+            s = s * ks.reshape(n_kv_heads, 1, bk)
+        s = s.reshape(rows, bk)
+        if softcap is not None:
+            # Logit soft-capping before bias/mask (scores already scaled).
+            s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
+
+        # Row r = (kv_head * group + g) * sq + t: chunk row index t and
+        # its global query position.
+        t_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0) % sq
+        )
+        qpos = first_qpos + t_row
+        pos = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1) + j * bk
+        if has_alibi:
+            # -slope * (q_pos - key_pos), per q head (replicated to rows).
+            s = s + alibi_ref[...] * (pos - qpos).astype(jnp.float32)
+        mask = (pos < length) & (pos <= qpos) & (t_row < chunk_len)
+        if window_left is not None:
+            mask = mask & (pos >= qpos - window_left)
+        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+
+        m_prev = m_ref[...]  # (rows, 1)
+        l_prev = l_ref[...]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        p = jnp.where(mask, p, 0.0)
+        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[...] = m_next
+
+        v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1).astype(
+            jnp.float32
+        )  # (n_kv, bk, d)
+        if quantized:
+            vs = jnp.concatenate([r[:, 0] for r in vs_refs], axis=-1)
+            p = (
+                p.reshape(n_kv_heads, gq, bk)
+                * vs.reshape(n_kv_heads, 1, bk)
+            ).reshape(rows, bk)
+        pv = jax.lax.dot_general(
+            p.reshape(n_kv_heads, gq, bk), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (n_kv, gq, d)
+        acc_ref[...] = acc_ref[...] * alpha + pv.reshape(rows, -1)
+
+    @pl.when(j == num_blocks - 1)
+    def _finalize():
+        l = l_ref[...]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (
+            (acc_ref[...] * l_inv)
+            .reshape(n_kv_heads, gq, -1)
+            .astype(o_ref.dtype)
+        )
+
+
+def paged_chunk_attention(
+    q: jax.Array,  # (batch, sq, n_q_heads, d)
+    k_pages: jax.Array,  # (n_kv_heads, num_pages, page_size, d)
+    v_pages: jax.Array,
+    lengths: jax.Array,  # (batch,) TOTAL length incl. the chunk
+    page_table: jax.Array,  # (batch, pages_per_seq_max)
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
+    *,
+    chunk_lens: jax.Array | None = None,  # (batch,) valid rows, default sq
+    softmax_scale: float | None = None,
+    interpret: bool | None = None,
+    window_left: int | None = None,
+    alibi_slopes: jax.Array | None = None,
+    softcap: float | None = None,
+) -> jax.Array:
+    """Chunk-of-queries decode against a paged (optionally quantized) KV
+    cache. Returns (batch, sq, n_q_heads, d).
+
+    Query row t of sequence b attends causally from global position
+    ``lengths[b] - chunk_lens[b] + t``; the chunk's own K/V must already
+    be in the cache (see serving/kvcache.py ``flash_attn_with_kvcache``
+    for the fused write+attend wrapper). Rows t >= chunk_lens[b] are
+    padding: their output is zero.
+
+    ``window_left`` / ``alibi_slopes`` / ``softcap`` follow
+    ops.attention semantics (positions are global cache positions).
+    """
+    batch, sq, n_q_heads, d = q.shape
+    n_kv_heads, num_pages, page_size, dk = k_pages.shape
+    assert dk == d and v_pages.shape == k_pages.shape
+    if n_q_heads % n_kv_heads != 0:
+        raise ValueError(
+            f"q heads {n_q_heads} not a multiple of kv heads {n_kv_heads}"
+        )
+    group = n_q_heads // n_kv_heads
+    if softmax_scale is None:
+        softmax_scale = d**-0.5
+    if interpret is None:
+        interpret = default_interpret()
+    quantized = k_scales is not None
+    if quantized:
+        assert v_scales is not None
+    if window_left is not None and window_left < 0:
+        raise ValueError(f"window_left must be >= 0, got {window_left}")
+    if softcap is not None and softcap <= 0.0:
+        raise ValueError(f"softcap must be > 0, got {softcap}")
+    softcap = None if softcap is None else float(softcap)
+    if chunk_lens is None:
+        chunk_lens = jnp.full((batch,), sq, jnp.int32)
+
+    alibi = None
+    if alibi_slopes is not None:
+        alibi = jnp.asarray(alibi_slopes, jnp.float32)
+        if alibi.shape != (n_q_heads,):
+            raise ValueError(
+                f"alibi_slopes must have shape ({n_q_heads},); "
+                f"got {alibi.shape}"
+            )
+
+    # Pad the chunk rows to a sublane multiple (padded rows are masked by
+    # t_row < chunk_len; chunk_lens <= sq always).
+    sq_pad = max(8, -(-sq // 8) * 8)
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
+    # (b, sq_pad, hq, d) -> (b, n_kv, group, sq_pad, d) -> (b, n_kv, gq, d)
+    q4 = (
+        jnp.transpose(q, (0, 2, 1, 3))
+        .reshape(batch, n_kv_heads, group, sq_pad, d)
+        .reshape(batch, n_kv_heads, group * sq_pad, d)
+    )
+
+    pages_max = page_table.shape[1]
+    # Keep the score tile (rows x bk) modest: rows grows with the chunk.
+    rows = n_kv_heads * group * sq_pad
+    ppb_cap = 8 if rows * 512 * 4 <= 4 * 1024 * 1024 else 4
+    pages_per_block = min(ppb_cap, pages_max)
+    if pages_max % pages_per_block != 0:
+        pad = pages_per_block - pages_max % pages_per_block
+        page_table = jnp.pad(page_table, [(0, 0), (0, pad)])
+        pages_max = pages_max + pad
+    num_blocks = pages_max // pages_per_block
+
+    def page_map_i(i):
+        def m(b_, j, tbl, ln, cl):
+            # Dead trailing blocks redirect the fetch to the last live
+            # block (reads only; adjacent equal indices elide the DMA).
+            last_live = jnp.maximum(ln[b_] - 1, 0) // (
+                pages_per_block * page_size
+            )
+            jj = jnp.minimum(j, last_live)
+            if window_left is not None:
+                lo_blk = jnp.maximum(ln[b_] - 1 - window_left, 0) // (
+                    pages_per_block * page_size
+                )
+                jj = jnp.maximum(jj, jnp.minimum(lo_blk, last_live))
+            return (0, tbl[b_, jj * pages_per_block + i], 0, 0)
+        return m
+
+    page_specs = [
+        pl.BlockSpec(
+            (n_kv_heads, 1, page_size, d), page_map_i(i),
+            memory_space=pltpu.VMEM,
+        )
+        for i in range(pages_per_block)
+    ]
+    scale_specs = [
+        pl.BlockSpec(
+            (n_kv_heads, 1, 1, page_size), page_map_i(i),
+            memory_space=pltpu.VMEM,
+        )
+        for i in range(pages_per_block)
+    ]
+
+    gq = group * sq_pad
+    in_specs = [
+        pl.BlockSpec(
+            (1, n_kv_heads, gq, d),
+            lambda b_, j, tbl, ln, cl: (b_, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [q4]
+    if alibi is not None:
+        # Per-row slopes: row (kvh*group + g)*sq_pad + t -> q head
+        # kvh*group + g, i.e. each head's slope replicated sq_pad times.
+        in_specs.append(pl.BlockSpec(
+            (rows, 1), lambda b_, j, tbl, ln, cl: (0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(jnp.repeat(alibi, sq_pad).reshape(rows, 1))
+    in_specs += [*page_specs]
+    args += [k_pages] * pages_per_block
+    if quantized:
+        in_specs += scale_specs
+        args += [k_scales.astype(jnp.float32)] * pages_per_block
+    in_specs += page_specs
+    args += [v_pages] * pages_per_block
+    if quantized:
+        in_specs += scale_specs
+        args += [v_scales.astype(jnp.float32)] * pages_per_block
+
+    out = pl.pallas_call(
+        functools.partial(
+            _chunk_kernel,
+            page_size=page_size,
+            num_blocks=num_blocks,
+            pages_per_block=pages_per_block,
+            quantized=quantized,
+            scale=float(softmax_scale),
+            group=group,
+            n_kv_heads=n_kv_heads,
+            sq=sq_pad,
+            window_left=window_left,
+            has_alibi=alibi is not None,
+            softcap=softcap,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(batch, num_blocks),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, n_kv_heads, gq, d),
+                lambda b_, j, tbl, ln, cl: (b_, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows, 1), jnp.float32),  # m
+                pltpu.VMEM((rows, 1), jnp.float32),  # l
+                pltpu.VMEM((rows, d), jnp.float32),  # acc
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, n_kv_heads, gq, d), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        page_table.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        chunk_lens.astype(jnp.int32),
+        *args,
+    )
+    # (b, n_kv, group*sq_pad, d) -> (b, sq, hq, d)
+    out = out.reshape(batch, n_kv_heads, group, sq_pad, d)
+    out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(
+        batch, sq_pad, n_q_heads, d
+    )
+    return out[:, :sq]
