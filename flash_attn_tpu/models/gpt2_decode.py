@@ -22,10 +22,15 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from flash_attn_tpu.kernels.chunk import paged_chunk_attention
 from flash_attn_tpu.kernels.decode import paged_decode_attention
 from flash_attn_tpu.models.gpt2 import GPT2Config
 from flash_attn_tpu.ops.attention import flash_attention
-from flash_attn_tpu.serving.cache import PagedKVCache, append_token
+from flash_attn_tpu.serving.cache import (
+    PagedKVCache,
+    append_token,
+    write_prompt,
+)
 
 
 def _layer_norm(x, p, eps):
@@ -103,6 +108,82 @@ def prefill(
         )[:, 0]
     logits = last @ p["wte"].T.astype(jnp.float32)
     return logits, ks, vs
+
+
+def chunk_prefill_step(
+    params,
+    cfg: GPT2Config,
+    caches: Sequence[PagedKVCache],
+    input_ids: jax.Array,  # (b, C) this chunk's tokens
+    pos0: jax.Array,  # (b,) int32 — tokens already in cache (global offset)
+    chunk_lens: jax.Array,  # (b,) int32 — valid rows of this chunk (<= C)
+    write_tbl: jax.Array,  # (b, C/page_size) page ids for THIS chunk's span
+    page_table: jax.Array,  # (b, pages_max) full table for attention
+):
+    """One chunk of chunked prefill for all sequences: per layer, write
+    the chunk's K/V into its (page-aligned) span with the whole-page
+    aliased kernel, then attend the chunk against the cache with the
+    multi-token paged kernel (kernels/chunk.py) — earlier chunks are
+    read back from pages, so activation memory per dispatch is O(b * C)
+    instead of O(b * prompt_len).
+
+    The chunk must be page-aligned: C % page_size == 0 and pos0 a
+    page_size multiple for every active row (the engine admits chunks of
+    a fixed page-multiple size). Rows with chunk_lens == 0 are padding
+    (their write_tbl rows must point at the reserved scratch page).
+
+    Returns (logits (b, vocab) at each row's LAST VALID chunk token,
+    new_caches). Rows whose prompt does not end in this chunk get
+    garbage logits (caller samples only finishing rows)."""
+    p = params["params"]
+    b, C = input_ids.shape
+    pos = jnp.clip(
+        pos0[:, None] + jnp.arange(C, dtype=jnp.int32),
+        0,
+        cfg.max_position_embeddings - 1,
+    )
+    x = p["wte"][input_ids] + p["wpe"][pos]
+    x = x.astype(cfg.dtype)
+    total = jnp.maximum(pos0, 0) + chunk_lens  # cache length AFTER chunk
+    new_caches = []
+    for i in range(cfg.n_layer):
+        lp = p[f"h_{i}"]
+        h = _layer_norm(
+            x.astype(jnp.float32), lp["ln_1"], cfg.layer_norm_epsilon
+        ).astype(cfg.dtype)
+        q, k, v = _qkv(h, lp["attn"], cfg)  # (b, C, n_head, hd)
+        cache = caches[i]
+        for r in range(b):
+            cache = write_prompt(cache, k[r], v[r], write_tbl[r])
+        new_caches.append(cache)
+        ctx = paged_chunk_attention(
+            q,
+            cache.k_pages,
+            cache.v_pages,
+            total,
+            page_table,
+            cache.k_scales,
+            cache.v_scales,
+            chunk_lens=chunk_lens,
+            window_left=cfg.window,
+        )
+        attn_out = _dense(
+            ctx.reshape(b, C, cfg.n_embd), lp["attn"]["out_proj"]
+        )
+        x = x + attn_out.astype(cfg.dtype)
+        h = _layer_norm(
+            x.astype(jnp.float32), lp["ln_2"], cfg.layer_norm_epsilon
+        ).astype(cfg.dtype)
+        x = x + _mlp(h, lp["mlp"]).astype(cfg.dtype)
+    x = _layer_norm(
+        x.astype(jnp.float32), p["ln_f"], cfg.layer_norm_epsilon
+    )
+    idx = jnp.clip(chunk_lens - 1, 0, C - 1)
+    last = jnp.take_along_axis(
+        x, idx[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    logits = last @ p["wte"].T.astype(jnp.float32)
+    return logits, new_caches
 
 
 def decode_step(

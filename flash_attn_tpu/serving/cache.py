@@ -329,7 +329,7 @@ def write_prompt(
     # space skips the pointless HBM->VMEM fetch of pages that are about
     # to be fully overwritten (append_token, by contrast, genuinely
     # reads its page for the row-select RMW)
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     n_in = len(args)
     in_specs += [any_spec, any_spec]
     args += [cache.k_pages, cache.v_pages]

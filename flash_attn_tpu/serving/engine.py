@@ -31,7 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from flash_attn_tpu.models.gpt2 import GPT2Config
-from flash_attn_tpu.models.gpt2_decode import decode_step, prefill
+from flash_attn_tpu.models.gpt2_decode import (
+    chunk_prefill_step,
+    decode_step,
+    prefill,
+)
 from flash_attn_tpu.serving.cache import (
     PageAllocator,
     init_cache,
@@ -75,6 +79,7 @@ class ServingEngine:
         top_k: Optional[int] = None,  # with temperature > 0
         sample_seed: int = 0,
         stream_free_pages: bool = True,
+        prefill_chunk: Optional[int] = None,
     ):
         self.params = params
         self.cfg = cfg
@@ -89,6 +94,19 @@ class ServingEngine:
         # to the shared pool mid-flight — per-sequence live memory is
         # O(window + sinks), not O(context), raising effective capacity.
         self._stream_free = bool(stream_free_pages) and cfg.window is not None
+        # Chunked prefill: admit prompts in fixed page-aligned chunks
+        # through the multi-token paged kernel (kernels/chunk.py) instead
+        # of one monolithic bucketed dispatch — bounds the jit-variant
+        # count to ONE shape per batch bucket and caps per-dispatch
+        # activation memory at O(batch * chunk) for arbitrarily long
+        # prompts. None = single-shot prefill.
+        if prefill_chunk is not None:
+            if prefill_chunk <= 0 or prefill_chunk % page_size != 0:
+                raise ValueError(
+                    f"prefill_chunk must be a positive multiple of "
+                    f"page_size={page_size}, got {prefill_chunk}"
+                )
+        self.prefill_chunk = prefill_chunk
         hd = cfg.n_embd // cfg.n_head
         self.caches = [
             init_cache(
@@ -151,6 +169,18 @@ class ServingEngine:
             return caches
 
         self._write_all = _write_all
+
+        self._chunk_prefill = functools.partial(
+            jax.jit(
+                lambda p, caches, ids, pos0, cl, wtbl, tbl: (
+                    chunk_prefill_step(
+                        p, cfg_, caches, ids, pos0, cl, wtbl, tbl
+                    )
+                ),
+                donate_argnums=(1,),
+            ),
+            self.params,
+        )
         temp, tk = self.temperature, self.top_k
 
         @jax.jit
@@ -243,6 +273,27 @@ class ServingEngine:
         if not batch:
             return
 
+        if self.prefill_chunk is not None:
+            first = self._prefill_chunked(batch)
+        else:
+            first = self._prefill_single_shot(batch)
+        for i, (slot, req, pages) in enumerate(batch):
+            n = len(req.prompt)
+            self.lengths[slot] = n
+            # Long prompts: pages already below the band are dead from the
+            # very first decode — reclaim before building the table row.
+            self._reclaim_dead_pages(slot, req)
+            self.page_table[slot] = self.alloc.table_row(req.seq_id)
+            self.next_token[slot] = int(first[i])
+            self.slot_req[slot] = req
+            req.generated.append(int(first[i]))
+            # The prefill token may already complete the request
+            # (max_new_tokens=1 or immediate EOS).
+            self._maybe_retire(slot, req, int(first[i]))
+
+    def _prefill_single_shot(self, batch) -> np.ndarray:
+        """Whole prompts in one bucketed dispatch (dense self-attention);
+        K/V written to pages afterwards. Returns first sampled tokens."""
         max_len = max(len(req.prompt) for _, req, _ in batch)
         # Clamp to the position-embedding table: a 128-rounded bucket may
         # exceed it (e.g. max_pos=1000, prompt 950 -> bucket 1024 would
@@ -273,19 +324,59 @@ class ServingEngine:
         self.caches = list(
             self._write_all(self.caches, ks, vs, jnp.asarray(tbl))
         )
-        for i, (slot, req, pages) in enumerate(batch):
-            n = len(req.prompt)
-            self.lengths[slot] = n
-            # Long prompts: pages already below the band are dead from the
-            # very first decode — reclaim before building the table row.
-            self._reclaim_dead_pages(slot, req)
-            self.page_table[slot] = self.alloc.table_row(req.seq_id)
-            self.next_token[slot] = int(first[i])
-            self.slot_req[slot] = req
-            req.generated.append(int(first[i]))
-            # The prefill token may already complete the request
-            # (max_new_tokens=1 or immediate EOS).
-            self._maybe_retire(slot, req, int(first[i]))
+        return first
+
+    def _prefill_chunked(self, batch) -> np.ndarray:
+        """Chunked prefill: walk the admitted prompts in fixed
+        page-aligned chunks of ``prefill_chunk`` tokens — each chunk's
+        K/V is written to its page span and attended against the cache
+        (earlier chunks included) by the multi-token paged kernel, so
+        dispatch shapes never depend on prompt length. Returns the first
+        sampled token per admitted row (sampled from the chunk where
+        each prompt ends)."""
+        C = self.prefill_chunk
+        ps = self.page_size
+        rows = _next_pow2(len(batch))
+        lens = [len(req.prompt) for _, req, _ in batch]
+        max_len = max(lens)
+        pages_per_chunk = C // ps
+        tbl = np.zeros((rows, self.pages_per_seq), np.int32)
+        for i, (_, req, pages) in enumerate(batch):
+            tbl[i, : len(pages)] = pages
+        tbl_j = jnp.asarray(tbl)
+        row_tokens = [None] * len(batch)  # sampled tokens per finish chunk
+        key = self._next_key()
+        for off in range(0, max_len, C):
+            ids = np.zeros((rows, C), np.int32)
+            pos0 = np.zeros((rows,), np.int32)
+            cl = np.zeros((rows,), np.int32)
+            wtbl = np.zeros((rows, pages_per_chunk), np.int32)
+            for i, (_, req, pages) in enumerate(batch):
+                n = lens[i]
+                pos0[i] = min(n, off)
+                c = max(0, min(n - off, C))
+                cl[i] = c
+                if c > 0:
+                    ids[i, :c] = req.prompt[off : off + c]
+                    span = pages[off // ps : off // ps + pages_per_chunk]
+                    wtbl[i, : len(span)] = span
+            logits, new_caches = self._chunk_prefill(
+                self.caches, jnp.asarray(ids), jnp.asarray(pos0),
+                jnp.asarray(cl), jnp.asarray(wtbl), tbl_j,
+            )
+            self.caches = list(new_caches)
+            sampled = None
+            for i in range(len(batch)):
+                if off < lens[i] <= off + C:
+                    if sampled is None:
+                        sampled = self._sample(logits, key)
+                    row_tokens[i] = sampled
+        # Sampling ran per finishing chunk with one shared key; gather
+        # each row's token from the chunk where its prompt ended.
+        first = np.zeros((len(batch),), np.int32)
+        for i in range(len(batch)):
+            first[i] = int(np.asarray(row_tokens[i])[i])
+        return first
 
     def step(self) -> None:
         """Admit what fits, then advance every active slot by one token."""

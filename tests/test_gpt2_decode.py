@@ -204,6 +204,39 @@ def test_serving_engine_batched_admission_matches_reference():
         assert by_id[i].generated == gen_ref, (i, by_id[i].generated, gen_ref)
 
 
+def test_serving_engine_chunked_prefill_matches_reference():
+    """prefill_chunk=128: prompts longer than one chunk are admitted in
+    page-aligned chunks through the multi-token paged kernel, and greedy
+    generations must still match the straight-line decode exactly."""
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(9)
+    # Spans 1, 2, and 2 chunks; one prompt ends exactly on a chunk edge.
+    prompts = [
+        list(rng.integers(0, cfg.vocab_size, size=n))
+        for n in (40, 150, 128)
+    ]
+    engine = ServingEngine(
+        params, cfg, max_batch=4, num_pages=32, page_size=128,
+        pages_per_seq=2, prefill_chunk=128,
+    )
+    for p in prompts:
+        engine.submit(p, max_new_tokens=4)
+    finished = engine.run(max_steps=60)
+    assert len(finished) == 3
+    by_id = {r.seq_id: r for r in finished}
+    for i, prompt in enumerate(prompts):
+        model_ids = jnp.asarray(prompt, jnp.int32)[None]
+        gen_ref = []
+        for _ in range(4):
+            logits = model.apply(params, model_ids)
+            tok = int(jnp.argmax(logits[0, -1]))
+            gen_ref.append(tok)
+            model_ids = jnp.concatenate(
+                [model_ids, jnp.asarray([[tok]], jnp.int32)], axis=1
+            )
+        assert by_id[i].generated == gen_ref, (i, by_id[i].generated, gen_ref)
+
+
 def test_engine_bucket_clamped_to_max_positions():
     """A 128-rounded prefill bucket must clamp to max_position_embeddings
     (e.g. max_pos=192 with a 150-token prompt must not build a 256 bucket)."""
