@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from flash_attn_tpu.kernels.chunk import paged_chunk_attention
+from flash_attn_tpu.ops.rotary import apply_rotary_at_positions
 from flash_attn_tpu.serving.cache import PagedKVCache, append_token
 
 
@@ -69,6 +70,8 @@ def flash_attn_with_kvcache(
     window_left: int | None = None,
     alibi_slopes: jax.Array | None = None,
     softcap: float | None = None,
+    apply_rotary: bool = False,
+    rotary_base: float = 10000.0,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, PagedKVCache]:
     """Returns ``(out, cache)``: attention of the query chunk against the
@@ -84,6 +87,11 @@ def flash_attn_with_kvcache(
 
     One call with sq=1 is exactly a decode step; sq>1 covers speculative
     verification and chunked prefill.
+
+    ``apply_rotary=True`` rotates q (and the new k, when given) at their
+    global cache positions before the write/attend — the upstream
+    in-place-rotary convention, for NeoX-style models whose cache holds
+    post-rotary keys.
     """
     batch, sq, _, _ = q.shape
     if new_lens is None:
@@ -93,6 +101,18 @@ def flash_attn_with_kvcache(
 
     if (k is None) != (v is None):
         raise ValueError("k and v must be given together")
+    if apply_rotary:
+        # Chunk row t sits at global position total - chunk + t, which is
+        # cache_seqlens + t when appending (padding rows beyond new_lens
+        # get garbage positions — they are masked/not written anyway).
+        base_pos = (
+            cache_seqlens if k is not None else cache_seqlens - new_lens
+        )
+        pos = base_pos[:, None] + jnp.arange(sq, dtype=jnp.int32)[None]
+        pos = jnp.maximum(pos, 0)[:, :, None]  # (b, sq, 1): bcast over h
+        q = apply_rotary_at_positions(q, pos, base=rotary_base)
+        if k is not None:
+            k = apply_rotary_at_positions(k, pos, base=rotary_base)
     if k is not None:
         cache = append_chunk(
             cache, k, v, page_table, cache_seqlens, new_lens

@@ -275,6 +275,47 @@ def test_flash_attn_with_kvcache_end_to_end():
     )
 
 
+def test_flash_attn_with_kvcache_rotary():
+    """apply_rotary=True rotates q and new k at their global cache
+    positions — equivalent to pre-rotating by hand."""
+    from flash_attn_tpu.ops.rotary import apply_rotary_at_positions
+
+    rng = np.random.default_rng(7)
+    n_kv, d, page_size, num_pages = 2, 64, 128, 8
+    prefix, sq = 100, 8
+    batch = 1
+    cache = init_cache(n_kv, num_pages, page_size, d, dtype=jnp.float32)
+    table = jnp.asarray([[1, 2, 0, 0]], jnp.int32)
+    pk = jnp.asarray(
+        rng.standard_normal((batch, prefix, n_kv, d)), jnp.float32
+    )
+    pv = jnp.asarray(
+        rng.standard_normal((batch, prefix, n_kv, d)), jnp.float32
+    )
+    cache = append_chunk(cache, pk, pv, table, jnp.zeros((batch,), jnp.int32))
+
+    q = jnp.asarray(rng.standard_normal((batch, sq, n_kv, d)), jnp.float32)
+    nk = jnp.asarray(rng.standard_normal((batch, sq, n_kv, d)), jnp.float32)
+    nv = jnp.asarray(rng.standard_normal((batch, sq, n_kv, d)), jnp.float32)
+    seqlens = jnp.full((batch,), prefix, jnp.int32)
+
+    cache_a = jax.tree_util.tree_map(lambda x: x, cache)
+    out_rot, _ = flash_attn_with_kvcache(
+        q, cache_a, table, seqlens, nk, nv, apply_rotary=True
+    )
+    # Manual: rotate at positions prefix..prefix+sq-1, then plain call.
+    pos = (prefix + jnp.arange(sq, dtype=jnp.int32))[None, :, None]
+    q_r = apply_rotary_at_positions(q, pos)
+    k_r = apply_rotary_at_positions(nk, pos)
+    cache_b = jax.tree_util.tree_map(lambda x: x, cache)
+    out_ref, _ = flash_attn_with_kvcache(
+        q_r, cache_b, table, seqlens, k_r, nv
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_rot), np.asarray(out_ref), atol=1e-6, rtol=1e-6
+    )
+
+
 def test_flash_attn_with_kvcache_no_append():
     """k/v omitted: the chunk's K/V must already be resident; positions
     tail-align to cache_seqlens."""
