@@ -119,6 +119,37 @@ def main():
             "ms/request"
         )
 
+    # --- long-prompt admission: single-shot vs chunked prefill ---
+    # Chunked prefill admits in fixed page-aligned chunks through the
+    # multi-token paged kernel: dispatch shapes are prompt-length-
+    # independent (one compile per batch bucket) and activations are
+    # O(batch * chunk). Same-process A/B on one long prompt.
+    long_s = min(1920, cfg.max_position_embeddings - 2)
+    long_prompt = np.asarray(
+        rng.integers(0, cfg.vocab_size, (long_s,)), np.int64
+    )
+    for label, chunk in (("single_shot", None), ("chunked512", 512)):
+        eng2 = ServingEngine(
+            params, cfg, max_batch=2, num_pages=2 * pages_per_seq + 1,
+            page_size=page_size, pages_per_seq=pages_per_seq,
+            prefill_chunk=chunk,
+        )
+        eng2.submit(list(long_prompt), max_new_tokens=1)
+        eng2.step()  # warm/compile
+        ts = []
+        for i in range(7):
+            p = list((long_prompt + i + 1) % cfg.vocab_size)
+            t0 = time.perf_counter()
+            eng2.submit(p, max_new_tokens=1)
+            eng2.step()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        results[f"longprefill_{label}"] = ts[len(ts) // 2] * 1e3
+        print(
+            f"long-prompt ({long_s}) admission, {label}: "
+            f"p50 {ts[len(ts) // 2] * 1e3:.1f} ms"
+        )
+
     for quant in [None, "int8", "fp8_e4m3"]:
         caches = [
             init_cache(cfg.n_head, num_pages, page_size, hd,
@@ -212,6 +243,17 @@ def write_md(cfg, args, r):
             f"| continuous-batching engine, {n} concurrent admission(s) | "
             f"{med:.1f} ms ({per:.1f}/req) | {p99:.1f} ms |"
         )
+    if "longprefill_single_shot" in r:
+        lines += [
+            "",
+            "Long-prompt (1920 tok) admission, single-shot vs chunked "
+            f"prefill (prefill_chunk=512): "
+            f"{r['longprefill_single_shot']:.1f} ms vs "
+            f"{r['longprefill_chunked512']:.1f} ms p50. Chunked prefill "
+            "trades some latency (4 dispatches instead of 1) for "
+            "prompt-length-independent compile shapes and O(batch*chunk) "
+            "activation memory.",
+        ]
     lines += [
         "",
         "Tunnel caveat (measured separately): the remote chip adds ~27 ms "
