@@ -9,6 +9,10 @@ from flash_attn_tpu.serving.kvcache import (
     append_chunk,
     flash_attn_with_kvcache,
 )
+from flash_attn_tpu.serving.sharding import (
+    make_sharded_chunk_attention,
+    make_sharded_paged_decode,
+)
 
 __all__ = [
     "PageAllocator",
@@ -18,6 +22,8 @@ __all__ = [
     "append_token",
     "flash_attn_with_kvcache",
     "init_cache",
+    "make_sharded_chunk_attention",
+    "make_sharded_paged_decode",
     "write_prompt",
 ]
 
