@@ -237,6 +237,29 @@ def test_serving_engine_chunked_prefill_matches_reference():
         assert by_id[i].generated == gen_ref, (i, by_id[i].generated, gen_ref)
 
 
+def test_serving_engine_chunked_prefill_windowed():
+    """Chunked prefill composes with sliding-window configs: the chunk
+    kernel's window masks on global positions, so generations match the
+    single-shot windowed engine token-for-token."""
+    cfg = GPT2Config.tiny(dtype=jnp.float32, window=96)
+    model = GPT2LMHeadModel(cfg)
+    rng = np.random.default_rng(10)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 64)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids)
+    prompt = list(rng.integers(0, cfg.vocab_size, size=180))
+
+    def run(chunk):
+        eng = ServingEngine(
+            params, cfg, max_batch=2, num_pages=16, page_size=128,
+            pages_per_seq=2, prefill_chunk=chunk,
+            stream_free_pages=False,
+        )
+        eng.submit(prompt, max_new_tokens=4)
+        return eng.run(max_steps=20)[0].generated
+
+    assert run(None) == run(128)
+
+
 def test_engine_bucket_clamped_to_max_positions():
     """A 128-rounded prefill bucket must clamp to max_position_embeddings
     (e.g. max_pos=192 with a 150-token prompt must not build a 256 bucket)."""
