@@ -118,6 +118,7 @@ def _fwd_kernel(
     band_wb: int,
     has_alibi: bool = False,
     softcap: float | None = None,
+    qk_int8: bool = False,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -128,6 +129,13 @@ def _fwd_kernel(
         idx += 1
     q_ref, k_ref, v_ref = refs[idx : idx + 3]
     idx += 3
+    if qk_int8:
+        # Per-token dequantization scales for the int8 QK^T path:
+        # q rows as a (bq, 1) column, k cols PRE-TRANSPOSED to (1, bk)
+        # (a (bk, 1) -> (1, bk) vector relayout inside the kernel is the
+        # pattern Mosaic historically rejects).
+        qscale_ref, kscale_ref = refs[idx : idx + 2]
+        idx += 2
     if has_segments:
         qpos_ref, kpos_ref, qseg_ref, kseg_ref = refs[idx : idx + 4]
         idx += 4
@@ -192,13 +200,16 @@ def _fwd_kernel(
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]
         # Phase 1: issue every chain's QK^T up front, register-resident.
+        # int8 path: the MXU's native int8 mode runs 2x the bf16 rate on
+        # v5e; accumulate in int32 and dequantize per chain below.
+        dot_acc = jnp.int32 if qk_int8 else jnp.float32
         ss = []
         for j in range(q_chains):
             qj = q_ref[0, 0, j * bqs : (j + 1) * bqs, :]  # (bqs, d)
             ss.append(
                 jax.lax.dot_general(
                     qj, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=dot_acc,
                 )
             )
 
@@ -208,6 +219,16 @@ def _fwd_kernel(
             rows_sl = slice(j * bqs, (j + 1) * bqs)
             row0 = iq * block_q + j * bqs  # global first row of this chain
             s = ss[j]
+
+            if qk_int8:
+                # Dequantize the int32 accumulator into raw-dot units:
+                # rank-1 per-row q scales x per-col k scales (softmax
+                # scale stays folded in the exp2 constant c).
+                s = (
+                    s.astype(jnp.float32)
+                    * qscale_ref[0, 0][rows_sl]  # (bqs, 1)
+                    * kscale_ref[0, 0]  # (1, block_k)
+                )
 
             if softcap is not None:
                 # Logit soft-capping (Gemma-2 / CUDA flash_attn v2.6
@@ -433,6 +454,7 @@ def _fwd_kernel(
         and not windowed
         and not has_alibi
         and softcap is None
+        and not qk_int8
         and block_q == block_k
         and p_drop == 0.0
         and mask_underflows
@@ -481,6 +503,7 @@ def _fwd_kernel(
             and not bounds_possible
             and not has_alibi
             and softcap is None
+            and not qk_int8
             and block_q == block_k
             and p_drop == 0.0
             and mask_underflows
@@ -593,6 +616,9 @@ def flash_attention_fwd(
     window_right: int | None = None,
     alibi: jax.Array | None = None,  # (b, h) fp32, pre-divided by scale
     softcap: float | None = None,
+    q_scale: jax.Array | None = None,  # (b, h, sq_pad, 1) fp32: int8 path
+    k_scale: jax.Array | None = None,  # (b, h_kv, 1, sk_pad) fp32
+    out_dtype=None,
 ):
     """Launch the forward kernel on block-aligned inputs.
 
@@ -761,6 +787,23 @@ def flash_attention_fwd(
         pl.BlockSpec((1, 1, bk, d), kv_index, memory_space=pltpu.VMEM),
     ]
     args += [q, k, v]
+    qk_int8 = q_scale is not None
+    if qk_int8:
+        assert k_scale is not None and q.dtype == jnp.int8, (
+            q.dtype, k_scale,
+        )
+
+        def kscale_index(*a):
+            bb, hh, ike, _ = kv_index(*a)
+            return (bb, hh, 0, ike)
+
+        in_specs += [
+            pl.BlockSpec((1, 1, bq, 1), q_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, 1, bk), kscale_index, memory_space=pltpu.VMEM
+            ),
+        ]
+        args += [q_scale.astype(jnp.float32), k_scale.astype(jnp.float32)]
     if has_segments:
         assert (
             kv_segment_ids is not None
@@ -788,8 +831,10 @@ def flash_attention_fwd(
             kv_segment_ids.astype(jnp.int32),
         ]
 
+    if out_dtype is None:
+        out_dtype = q.dtype
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, sq_pad, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, sq_pad, d), out_dtype),
     ]
     out_specs = [
         pl.BlockSpec((1, 1, bq, d), q_index, memory_space=pltpu.VMEM),
@@ -835,6 +880,7 @@ def flash_attention_fwd(
         band_wb=band_wb,
         has_alibi=has_alibi,
         softcap=None if softcap is None else float(softcap),
+        qk_int8=qk_int8,
     )
 
     flops_mask = 0.5 if causal else 1.0

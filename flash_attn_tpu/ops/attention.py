@@ -63,6 +63,7 @@ class _Config:
     window_right: int | None = None
     has_alibi: bool = False
     softcap: float | None = None
+    out_dtype: object = None  # int8 path: original (pre-quant) dtype
 
 
 def _parse_window(window_size, causal: bool):
@@ -137,6 +138,60 @@ def _norm_alibi(alibi_slopes, b, h, softmax_scale):
             f"got {a.shape}"
         )
     return a / jnp.float32(softmax_scale)
+
+
+def _quantize_qk_int8(qp, kp):
+    """SageAttention-style int8 QK^T prep on padded (b, h, s, d) inputs.
+
+    k is mean-centered per (b, h_kv, d) before quantizing: subtracting
+    any per-row-constant from the scores (q . k_mean) leaves the softmax
+    EXACTLY invariant, and centering shrinks k's dynamic range, which is
+    where int8 quantization error concentrates. Per-token symmetric
+    scales: q rows (b, h, s, 1), k cols pre-transposed (b, h_kv, 1, s).
+
+    Returns (q_int8, k_int8, q_scale, k_scale, k_mean)."""
+    eps = jnp.float32(1e-30)
+    qf = qp.astype(jnp.float32)
+    kf = kp.astype(jnp.float32)
+    km = jnp.mean(kf, axis=2, keepdims=True)  # (b, h_kv, 1, d)
+    kc = kf - km
+    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=3, keepdims=True), eps) / 127.0
+    ks = jnp.maximum(jnp.max(jnp.abs(kc), axis=3, keepdims=True), eps) / 127.0
+    qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
+    kq = jnp.clip(jnp.round(kc / ks), -127, 127).astype(jnp.int8)
+    return qq, kq, qs, jnp.swapaxes(ks, 2, 3), km
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core_int8(cfg: _Config, q, k, v, seg, alibi):
+    """Inference-only int8-QK forward (see ``qk_quant``)."""
+    qq, kq, qs, ks, _ = _quantize_qk_int8(q, k)
+    qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
+    out, _ = flash_attention_fwd(
+        qq, kq, v, qpos, kpos, qseg, kseg, None,
+        sq=cfg.sq, sk=cfg.sk, causal=cfg.causal,
+        softmax_scale=cfg.softmax_scale,
+        block_sizes=cfg.block_sizes, interpret=cfg.interpret,
+        save_lse=False, window_left=cfg.window_left,
+        window_right=cfg.window_right, alibi=alibi,
+        q_scale=qs, k_scale=ks, out_dtype=cfg.out_dtype,
+    )
+    return out
+
+
+def _int8_fwd_vjp(cfg, q, k, v, seg, alibi):
+    return _flash_core_int8(cfg, q, k, v, seg, alibi), None
+
+
+def _int8_bwd_vjp(cfg, residuals, dout):
+    raise NotImplementedError(
+        "flash_attention(qk_quant='int8') is an inference-only path — "
+        "gradients are not defined through the quantized QK^T. Drop "
+        "qk_quant (or wrap in jax.lax.stop_gradient) for training."
+    )
+
+
+_flash_core_int8.defvjp(_int8_fwd_vjp, _int8_bwd_vjp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
@@ -410,6 +465,7 @@ def flash_attention(
     window_size: tuple[int | None, int | None] | None = None,
     alibi_slopes: jax.Array | None = None,
     softcap: float | None = None,
+    qk_quant: str | None = None,
 ):
     """Fused flash attention. O = dropout(softmax(scale * Q K^T + mask)) V.
 
@@ -453,6 +509,13 @@ def flash_attention(
       ``softcap * tanh(s / softcap)`` before the ALiBi bias and masking,
       bounding every logit to (-softcap, softcap). Differentiable (the
       backward applies the tanh chain rule in-kernel). Must be > 0.
+    - ``qk_quant="int8"``: INFERENCE-ONLY SageAttention-style path — q/k
+      are symmetrically quantized per token (k mean-centered per head,
+      which leaves the softmax exactly invariant) and the QK^T dot runs
+      on the MXU's int8 mode (2x the bf16 rate on v5e); softmax and PV
+      stay full-precision. Composes with causal / window / ALiBi / GQA /
+      varlen segments; not with dropout, softcap, or return_lse, and
+      gradients raise (quantized scores have no defined vjp here).
     """
     if q.dtype == jnp.float16:
         # fp16 envelope (the reference is fp16-primary, fmha_api.cpp:136):
@@ -468,7 +531,7 @@ def flash_attention(
             dropout_p=dropout_p, dropout_seed=dropout_seed,
             block_sizes=block_sizes, return_lse=return_lse,
             interpret=interpret, layout=layout, window_size=window_size,
-            alibi_slopes=alibi_slopes, softcap=softcap,
+            alibi_slopes=alibi_slopes, softcap=softcap, qk_quant=qk_quant,
         )
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
@@ -499,6 +562,25 @@ def flash_attention(
         raise ValueError("dropout_p > 0 requires dropout_seed")
     if softcap is not None and softcap <= 0.0:
         raise ValueError(f"softcap must be > 0, got {softcap}")
+    if qk_quant not in (None, "int8"):
+        raise ValueError(f"qk_quant must be None or 'int8', got {qk_quant!r}")
+    if qk_quant is not None:
+        if dropout_p > 0.0:
+            raise ValueError(
+                "qk_quant is an inference-only path; dropout implies "
+                "training — drop one of them"
+            )
+        if softcap is not None:
+            raise ValueError(
+                "qk_quant does not compose with softcap: the k-mean-"
+                "centering shift is only softmax-invariant for ADDITIVE "
+                "score transforms, and tanh capping is not"
+            )
+        if return_lse:
+            raise ValueError(
+                "return_lse is not supported with qk_quant (the centered "
+                "lse differs from the true lse by a per-row q.k_mean term)"
+            )
     window_left, window_right = _parse_window(window_size, causal)
 
     has_segments = q_segment_ids is not None
@@ -602,6 +684,10 @@ def flash_attention(
         if layout == "bshd":
             return jnp.transpose(out, (0, 2, 1, 3))[:, :sq, :, :d]
         return out[:, :, :sq, :d]
+
+    if qk_quant == "int8":
+        cfg8 = dataclasses.replace(cfg, out_dtype=q.dtype)
+        return unpack(_flash_core_int8(cfg8, qp, kp, vp, seg, alibi))
 
     if return_lse:
         out, lse = _flash_core_lse(cfg, qp, kp, vp, seg, seed, alibi)
