@@ -45,6 +45,9 @@ def _packed_attention(
     return_attn_probs,
     dropout_seed,
     block_sizes: BlockSizes | None = None,
+    window_size=None,
+    alibi_slopes=None,
+    softcap=None,
 ):
     total_q, h, d = q.shape
     total_k = k.shape[0]
@@ -60,6 +63,12 @@ def _packed_attention(
         dropout_p=dropout_p,
         dropout_seed=dropout_seed,
         block_sizes=block_sizes,
+        # Later-upstream kwargs (v2.3/2.4/2.6): the segment path compares
+        # per-sequence LOCAL positions, so window bands and ALiBi
+        # distances are exact per packed sequence.
+        window_size=window_size,
+        alibi_slopes=alibi_slopes,
+        softcap=softcap,
     )
     if not return_attn_probs:
         # Differentiable path (custom VJP).
@@ -94,17 +103,23 @@ def flash_attn_unpadded_func(
     *,
     dropout_seed=None,
     block_sizes=None,
+    window_size=None,
+    alibi_slopes=None,
+    softcap=None,
 ):
     """Separate q/k/v packed varlen attention (reference :213-243).
 
     q: (total_q, nheads, headdim); k, v: (total_k, nheads, headdim);
     cu_seqlens_*: (batch + 1,) int32. ``max_seqlen_*`` are accepted for API
     parity (tile sizing is derived from the static packed shapes).
+    ``window_size`` / ``alibi_slopes`` / ``softcap`` follow the later
+    upstream varlen API (per-sequence local positions).
     """
     del max_seqlen_q, max_seqlen_k
     return _packed_attention(
         q, k, v, cu_seqlens_q, cu_seqlens_k, dropout_p, softmax_scale,
         causal, return_attn_probs, dropout_seed, block_sizes,
+        window_size, alibi_slopes, softcap,
     )
 
 
@@ -122,12 +137,16 @@ def flash_attn_unpadded_kvpacked_func(
     *,
     dropout_seed=None,
     block_sizes=None,
+    window_size=None,
+    alibi_slopes=None,
+    softcap=None,
 ):
     """q + packed kv (total_k, 2, nheads, headdim) (reference :179-210)."""
     return flash_attn_unpadded_func(
         q, kv[:, 0], kv[:, 1], cu_seqlens_q, cu_seqlens_k, max_seqlen_q,
         max_seqlen_k, dropout_p, softmax_scale, causal, return_attn_probs,
         dropout_seed=dropout_seed, block_sizes=block_sizes,
+        window_size=window_size, alibi_slopes=alibi_slopes, softcap=softcap,
     )
 
 
@@ -142,6 +161,9 @@ def flash_attn_unpadded_qkvpacked_func(
     *,
     dropout_seed=None,
     block_sizes=None,
+    window_size=None,
+    alibi_slopes=None,
+    softcap=None,
 ):
     """Packed qkv (total, 3, nheads, headdim) self-attention
     (reference :151-176)."""
@@ -149,6 +171,7 @@ def flash_attn_unpadded_qkvpacked_func(
         qkv[:, 0], qkv[:, 1], qkv[:, 2], cu_seqlens, cu_seqlens, max_seqlen,
         max_seqlen, dropout_p, softmax_scale, causal, return_attn_probs,
         dropout_seed=dropout_seed, block_sizes=block_sizes,
+        window_size=window_size, alibi_slopes=alibi_slopes, softcap=softcap,
     )
 
 

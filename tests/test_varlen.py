@@ -196,3 +196,42 @@ def test_segment_ids_from_mask_matches_unpad_path():
         )
         # padding rows are exactly zero
         np.testing.assert_array_equal(np.asarray(out[i, li:]), 0.0)
+
+
+def test_unpadded_window_alibi_softcap_kwargs():
+    """Later-upstream kwargs on the varlen entry points: window band,
+    ALiBi distances, and softcap all act on per-sequence LOCAL
+    positions of the packed super-sequence."""
+    from flash_attn_tpu.ops.attention import alibi_slopes
+
+    rng = np.random.default_rng(11)
+    batch, max_s, h, d = 3, 180, 2, 64
+    win = 50
+    lengths = _random_lengths(rng, batch, max_s)
+    total = int(lengths.sum())
+    cu = _cu(lengths)
+    q = jnp.asarray(rng.standard_normal((total, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((total, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((total, h, d)), jnp.float32)
+    slopes = alibi_slopes(h)
+    out = flash_attn_unpadded_func(
+        q, k, v, cu, cu, max_s, max_s, 0.0, causal=True,
+        window_size=(win, 0), alibi_slopes=slopes, softcap=30.0,
+    )
+    for i, ln in enumerate(lengths):
+        sl = slice(int(cu[i]), int(cu[i] + ln))
+        qi = jnp.transpose(q[sl], (1, 0, 2))[None]
+        ki = jnp.transpose(k[sl], (1, 0, 2))[None]
+        vi = jnp.transpose(v[sl], (1, 0, 2))[None]
+        ii = jnp.arange(int(ln))[:, None]
+        jj = jnp.arange(int(ln))[None, :]
+        bias = slopes[None, :, None, None] * (jj - ii).astype(jnp.float32)
+        ref = attention_ref(
+            qi, ki, vi, causal=True, mask=(jj >= ii - win)[None, None],
+            bias=bias, softcap=30.0,
+        )
+        got = jnp.transpose(out[sl], (1, 0, 2))[None]
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4,
+            err_msg=f"seq {i}",
+        )
