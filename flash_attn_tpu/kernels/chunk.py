@@ -63,6 +63,7 @@ def _chunk_kernel(
     window_left: int | None,
     has_alibi: bool,
     softcap: float | None,
+    compute_dtype=jnp.float32,
 ):
     ppb = pages_per_block
     idx = 0
@@ -108,9 +109,14 @@ def _chunk_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # (n_kv, gq, d)
+        # compute_dtype: bf16 dots (fp32 accumulation) ride the MXU's
+        # native rate — fp32 matmuls run ~1/8 peak on v5e, and chunked
+        # prefill is dot-bound (unlike single-token decode). int8 page
+        # payloads cast to bf16 exactly (|x| <= 127 fits the mantissa);
+        # fp32 callers (tests) keep exact fp32 dots.
+        q = q_ref[0].astype(compute_dtype)  # (n_kv, gq, d)
         k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(
-            jnp.float32
+            compute_dtype
         )  # (n_kv, bk, d)
         # Batched over kv heads: (n_kv, gq, d) x (n_kv, bk, d) ->
         # (n_kv, gq, bk) — every chunk row and group member in one dot.
@@ -152,7 +158,7 @@ def _chunk_kernel(
         m_ref[...] = m_next
 
         v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1).astype(
-            jnp.float32
+            compute_dtype
         )  # (n_kv, bk, d)
         if quantized:
             vs = jnp.concatenate([r[:, 0] for r in vs_refs], axis=-1)
@@ -161,7 +167,7 @@ def _chunk_kernel(
                 * vs.reshape(n_kv_heads, 1, bk)
             ).reshape(rows, bk)
         pv = jax.lax.dot_general(
-            p.reshape(n_kv_heads, gq, bk), v,
+            p.reshape(n_kv_heads, gq, bk).astype(compute_dtype), v,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (n_kv, gq, d)
@@ -334,6 +340,9 @@ def paged_chunk_attention(
             window_left=window_left,
             has_alibi=alibi is not None,
             softcap=softcap,
+            compute_dtype=(
+                jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+            ),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

@@ -97,6 +97,35 @@ def test_chunk_matches_oracle(group):
         )
 
 
+def test_chunk_bf16_compute():
+    """bf16 inputs take the bf16-dot (MXU-native) path; tolerance is the
+    usual bf16 envelope vs the fp32 oracle."""
+    rng = np.random.default_rng(8)
+    n_kv, d, page_size, num_pages, pages_per_seq = 2, 64, 128, 16, 4
+    sq = 8
+    lengths = [200, 450]
+    batch = len(lengths)
+    q = jnp.asarray(rng.standard_normal((batch, sq, n_kv, d)), jnp.bfloat16)
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, pages_per_seq
+    )
+    out = paged_chunk_attention(
+        q.astype(jnp.bfloat16),
+        k_pages.astype(jnp.bfloat16),
+        v_pages.astype(jnp.bfloat16),
+        jnp.asarray(lengths, jnp.int32), table,
+    )
+    assert out.dtype == jnp.bfloat16
+    for b, ln in enumerate(lengths):
+        ref = _oracle_rows(
+            q[b].astype(jnp.float32), dense_k[b], dense_v[b], ln, sq, sq, 1
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[b], np.float32), np.asarray(ref),
+            atol=2e-2, rtol=2e-2, err_msg=f"b={b}",
+        )
+
+
 def test_chunk_sq1_equals_decode():
     """A 1-token chunk is exactly a decode step."""
     rng = np.random.default_rng(1)
