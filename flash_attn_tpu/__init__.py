@@ -17,6 +17,9 @@ from flash_attn_tpu.ops.interface import (
     flash_attn_unpadded_func,
     flash_attn_unpadded_kvpacked_func,
     flash_attn_unpadded_qkvpacked_func,
+    flash_attn_varlen_func,
+    flash_attn_varlen_kvpacked_func,
+    flash_attn_varlen_qkvpacked_func,
 )
 from flash_attn_tpu.ops.packing import pad_input, unpad_input
 
@@ -30,6 +33,9 @@ __all__ = [
     "flash_attn_unpadded_func",
     "flash_attn_unpadded_kvpacked_func",
     "flash_attn_unpadded_qkvpacked_func",
+    "flash_attn_varlen_func",
+    "flash_attn_varlen_kvpacked_func",
+    "flash_attn_varlen_qkvpacked_func",
     "pad_input",
     "unpad_input",
     "__version__",

@@ -192,6 +192,13 @@ def flash_attn_func(
     )
 
 
+# Modern upstream names (the package renamed unpadded -> varlen in v2):
+# same signatures, so migrating code from either era finds its symbols.
+flash_attn_varlen_func = flash_attn_unpadded_func
+flash_attn_varlen_kvpacked_func = flash_attn_unpadded_kvpacked_func
+flash_attn_varlen_qkvpacked_func = flash_attn_unpadded_qkvpacked_func
+
+
 def _get_block_size(device=None, head_dim: int = 64, is_dropout: bool = False,
                     seq_len: int = 4096):
     """Parity shim for the reference's block-size mirror
