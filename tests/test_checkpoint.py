@@ -109,6 +109,33 @@ def test_max_to_keep_and_latest(tmp_path):
         assert list(ckpt.all_steps()) == [2, 3]
 
 
+def test_sharded_roundtrip(tmp_path):
+    """Sharded train state (virtual 8-device mesh): save/restore must
+    preserve values AND shardings — the multi-host pjit contract."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(2, 4), ("data", "model")
+    )
+    sh = NamedSharding(mesh, P(None, "model"))
+    repl = NamedSharding(mesh, P())
+    params = {
+        "w": jax.device_put(
+            jnp.arange(8 * 16, dtype=jnp.float32).reshape(8, 16), sh
+        ),
+        "b": jax.device_put(jnp.ones((16,), jnp.float32), repl),
+    }
+    opt_state = {"m": jax.device_put(jnp.zeros((8, 16)), sh)}
+    with TrainCheckpointer(str(tmp_path / "s"), async_save=False) as ckpt:
+        ckpt.save(5, params, opt_state)
+        step, p2, o2, _ = ckpt.restore(params, opt_state)
+    assert step == 5
+    _tree_equal(p2, params)
+    _tree_equal(o2, opt_state)
+    assert p2["w"].sharding.is_equivalent_to(sh, 2)
+    assert o2["m"].sharding.is_equivalent_to(sh, 2)
+
+
 def test_restore_missing_raises(tmp_path):
     init, _, _ = _setup()
     params, opt_state = init()
