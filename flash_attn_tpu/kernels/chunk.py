@@ -64,11 +64,15 @@ def _chunk_kernel(
     has_alibi: bool,
     softcap: float | None,
     compute_dtype=jnp.float32,
+    qk_int8: bool = False,
 ):
     ppb = pages_per_block
     idx = 0
     q_ref = refs[idx]  # (1, n_kv, group*sq, d)
     idx += 1
+    if qk_int8:
+        qscale_ref = refs[idx]  # (1, n_kv, gq, 1) fp32 per-row q scales
+        idx += 1
     if has_alibi:
         alibi_ref = refs[idx]  # (rows, 1) fp32 per-ROW slopes
         idx += 1
@@ -114,16 +118,27 @@ def _chunk_kernel(
         # prefill is dot-bound (unlike single-token decode). int8 page
         # payloads cast to bf16 exactly (|x| <= 127 fits the mantissa);
         # fp32 callers (tests) keep exact fp32 dots.
-        q = q_ref[0].astype(compute_dtype)  # (n_kv, gq, d)
-        k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(
-            compute_dtype
-        )  # (n_kv, bk, d)
+        if qk_int8:
+            # int8 x int8 -> int32 QK^T on the MXU's 2x-rate int8 mode:
+            # the cache payload is ALREADY int8 (its per-token scales are
+            # applied below via the existing `quantized` branch); q was
+            # quantized per token by the launcher.
+            q = q_ref[0]  # (n_kv, gq, d) int8
+            k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1)
+        else:
+            q = q_ref[0].astype(compute_dtype)  # (n_kv, gq, d)
+            k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(
+                compute_dtype
+            )  # (n_kv, bk, d)
         # Batched over kv heads: (n_kv, gq, d) x (n_kv, bk, d) ->
         # (n_kv, gq, bk) — every chunk row and group member in one dot.
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * jnp.float32(scale)
+            preferred_element_type=jnp.int32 if qk_int8 else jnp.float32,
+        )
+        s = s.astype(jnp.float32) * jnp.float32(scale)
+        if qk_int8:
+            s = s * qscale_ref[0]  # (n_kv, gq, 1) broadcasts over bk
         if quantized:
             ks = jnp.concatenate([r[:, 0] for r in ks_refs], axis=-1)
             s = s * ks.reshape(n_kv_heads, 1, bk)
@@ -199,6 +214,7 @@ def paged_chunk_attention(
     window_left: int | None = None,
     alibi_slopes: jax.Array | None = None,
     softcap: float | None = None,
+    qk_quant: str | None = None,
 ) -> jax.Array:
     """Chunk-of-queries decode against a paged (optionally quantized) KV
     cache. Returns (batch, sq, n_q_heads, d).
@@ -211,6 +227,13 @@ def paged_chunk_attention(
 
     ``window_left`` / ``alibi_slopes`` / ``softcap`` follow
     ops.attention semantics (positions are global cache positions).
+
+    ``qk_quant="int8"`` (requires an int8-quantized cache): q is
+    symmetrically quantized per token here and QK^T runs as an
+    int8 x int8 -> int32 MXU dot against the cache payload directly —
+    the 2x-rate path for dot-bound chunked prefill. The cache's own
+    per-token k scales dequantize the scores as usual; softmax and PV
+    stay full precision.
     """
     batch, sq, n_q_heads, d = q.shape
     n_kv_heads, num_pages, page_size, dk = k_pages.shape
@@ -243,6 +266,15 @@ def paged_chunk_attention(
                 f"alibi_slopes must have shape ({n_q_heads},); "
                 f"got {alibi.shape}"
             )
+    if qk_quant not in (None, "int8"):
+        raise ValueError(f"qk_quant must be None or 'int8', got {qk_quant!r}")
+    qk_int8 = qk_quant == "int8"
+    if qk_int8 and not quantized:
+        raise ValueError(
+            "qk_quant='int8' requires an int8-quantized KV cache "
+            "(k_scales/v_scales) — the kernel dots q against the cache "
+            "payload directly"
+        )
 
     # Pad the chunk rows to a sublane multiple (padded rows are masked by
     # t_row < chunk_len; chunk_lens <= sq always).
@@ -255,6 +287,16 @@ def paged_chunk_attention(
         .reshape(batch, n_kv_heads, group, sq_pad, d)
         .reshape(batch, n_kv_heads, group * sq_pad, d)
     )
+    q_qscale = None
+    if qk_int8:
+        # Per-token symmetric q quantization (the cache payload is
+        # already int8 with its own per-token scales).
+        qf = q4.astype(jnp.float32)
+        qsc = jnp.maximum(
+            jnp.max(jnp.abs(qf), axis=3, keepdims=True), 1e-30
+        ) / 127.0  # (b, n_kv, gq, 1)
+        q4 = jnp.clip(jnp.round(qf / qsc), -127, 127).astype(jnp.int8)
+        q_qscale = qsc
 
     pages_max = page_table.shape[1]
     # Keep the score tile (rows x bk) modest: rows grows with the chunk.
@@ -307,6 +349,13 @@ def paged_chunk_attention(
         ),
     ]
     args = [q4]
+    if qk_int8:
+        in_specs.append(pl.BlockSpec(
+            (1, n_kv_heads, gq, 1),
+            lambda b_, j, tbl, ln, cl: (b_, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+        args.append(q_qscale)
     if alibi is not None:
         # Per-row slopes: row (kvh*group + g)*sq_pad + t -> q head
         # kvh*group + g, i.e. each head's slope replicated sq_pad times.
@@ -343,6 +392,7 @@ def paged_chunk_attention(
             compute_dtype=(
                 jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
             ),
+            qk_int8=qk_int8,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,

@@ -72,6 +72,7 @@ def flash_attn_with_kvcache(
     softcap: float | None = None,
     apply_rotary: bool = False,
     rotary_base: float = 10000.0,
+    qk_quant: str | None = None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, PagedKVCache]:
     """Returns ``(out, cache)``: attention of the query chunk against the
@@ -135,5 +136,6 @@ def flash_attn_with_kvcache(
         window_left=window_left,
         alibi_slopes=alibi_slopes,
         softcap=softcap,
+        qk_quant=qk_quant,
     )
     return out, cache

@@ -243,6 +243,42 @@ def test_chunk_quantized_int8():
         )
 
 
+def test_chunk_qk_int8_on_quantized_cache():
+    """qk_quant='int8': q quantized per token, dotted int8-vs-int8
+    against the cache payload. Oracle: dense attention over the
+    DEQUANTIZED pages (q quantization adds its own ~1% error)."""
+    rng = np.random.default_rng(9)
+    n_kv, d, page_size, num_pages, pages_per_seq = 2, 64, 128, 8, 4
+    sq = 8
+    lengths = [200, 400]
+    batch = len(lengths)
+    q = jnp.asarray(rng.standard_normal((batch, sq, n_kv, d)), jnp.float32)
+    k_pages, v_pages, table, _, _ = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, pages_per_seq
+    )
+    kq, ks = qz.quantize_pages(k_pages, "int8")
+    vq, vs = qz.quantize_pages(v_pages, "int8")
+    out = paged_chunk_attention(
+        q, kq, vq, jnp.asarray(lengths, jnp.int32), table, ks, vs,
+        qk_quant="int8",
+    )
+    kd = qz.dequantize_pages(kq, ks)
+    vd = qz.dequantize_pages(vq, vs)
+    for b, ln in enumerate(lengths):
+        ids = np.asarray(table[b])[: (ln + page_size - 1) // page_size]
+        dk = jnp.concatenate([kd[:, i] for i in ids], axis=1)[:, :ln]
+        dv = jnp.concatenate([vd[:, i] for i in ids], axis=1)[:, :ln]
+        ref = _oracle_rows(q[b], dk, dv, ln, sq, sq, 1)
+        err = float(jnp.max(jnp.abs(out[b] - ref)))
+        assert err < 0.06, (b, err)
+    # Requires a quantized cache:
+    with pytest.raises(ValueError, match="quantized"):
+        paged_chunk_attention(
+            q, k_pages, v_pages, jnp.asarray(lengths, jnp.int32), table,
+            qk_quant="int8",
+        )
+
+
 def test_flash_attn_with_kvcache_end_to_end():
     """Prefix in cache + new chunk appended: the chunk's rows must equal
     the last rows of full dense causal attention over prefix+chunk."""
