@@ -100,10 +100,12 @@ def _chunk_kernel(
     # Block liveness: some key column must be (a) inside the sequence and
     # (b) causally visible from some chunk row, i.e. <= the LAST row's
     # position (= length - 1), and (c) inside some row's window band —
-    # the weakest bound is the last row's: pos >= length - 1 - left.
+    # the weakest (loosest) lower bound across rows is the FIRST row's:
+    # pos >= first_qpos - left (the last row's band starts later, so
+    # using it would skip blocks early rows still need).
     live = j * bk < length
     if window_left is not None:
-        live = live & ((j + 1) * bk > length - 1 - window_left)
+        live = live & ((j + 1) * bk > first_qpos - window_left)
 
     @pl.when(j == 0)
     def _init():
@@ -269,11 +271,12 @@ def paged_chunk_attention(
     if qk_quant not in (None, "int8"):
         raise ValueError(f"qk_quant must be None or 'int8', got {qk_quant!r}")
     qk_int8 = qk_quant == "int8"
-    if qk_int8 and not quantized:
+    if qk_int8 and (not quantized or k_pages.dtype != jnp.int8):
         raise ValueError(
             "qk_quant='int8' requires an int8-quantized KV cache "
-            "(k_scales/v_scales) — the kernel dots q against the cache "
-            "payload directly"
+            "(k_scales/v_scales and int8 pages) — the kernel dots q "
+            f"against the cache payload directly; got {k_pages.dtype} "
+            "pages"
         )
 
     # Pad the chunk rows to a sublane multiple (padded rows are masked by
@@ -318,9 +321,11 @@ def paged_chunk_attention(
             )
             jj = jnp.minimum(j, last_live)
             if window_left is not None:
-                lo_blk = jnp.maximum(ln[b_] - 1 - window_left, 0) // (
-                    pages_per_block * page_size
-                )
+                # First (earliest) chunk row's band floor — the loosest
+                # bound across rows (must match the kernel's liveness).
+                lo_blk = jnp.maximum(
+                    ln[b_] - cl[b_] - window_left, 0
+                ) // (pages_per_block * page_size)
                 jj = jnp.maximum(jj, jnp.minimum(lo_blk, last_live))
             return (0, tbl[b_, jj * pages_per_block + i], 0, 0)
         return m

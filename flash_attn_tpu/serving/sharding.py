@@ -121,6 +121,7 @@ def make_sharded_chunk_attention(
     softmax_scale: Optional[float] = None,
     window_left: Optional[int] = None,
     softcap: Optional[float] = None,
+    qk_quant: Optional[str] = None,
     interpret: Optional[bool] = None,
 ):
     """Head-TP multi-token paged attention (speculative decode / chunked
@@ -155,6 +156,7 @@ def make_sharded_chunk_attention(
                 softmax_scale=softmax_scale,
                 window_left=window_left,
                 softcap=softcap,
+                qk_quant=qk_quant,
                 alibi_slopes=sl if has_alibi else None,
                 interpret=interpret,
             )

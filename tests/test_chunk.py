@@ -214,6 +214,40 @@ def test_chunk_window_softcap_alibi():
             )
 
 
+def test_chunk_window_multiblock_liveness():
+    """Regression: block liveness must use the FIRST chunk row's band
+    floor. Shapes chosen so the first and last rows' band floors fall in
+    DIFFERENT kv blocks (bk=1024 here): with the last-row bound the
+    earlier block was skipped and early rows lost part of their band."""
+    rng = np.random.default_rng(10)
+    n_kv, d, page_size = 2, 64, 128
+    num_pages, pages_per_seq = 32, 17
+    sq, ln, win = 8, 2060, 1034  # floors: first 1018 (blk 0), last 1025 (blk 1)
+    q = jnp.asarray(rng.standard_normal((1, sq, n_kv, d)), jnp.float32)
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, 1, [ln], pages_per_seq
+    )
+    out = paged_chunk_attention(
+        q, k_pages, v_pages, jnp.asarray([ln], jnp.int32), table,
+        window_left=win,
+    )
+    t = jnp.arange(sq)[:, None]
+    j = jnp.arange(ln)[None, :]
+    qpos = ln - sq + t
+    mask = (j <= qpos) & (j >= qpos - win)
+    for h in range(n_kv):
+        ref = attention_ref(
+            q[0, :, h][None, None],
+            dense_k[0][h][None, None, :ln],
+            dense_v[0][h][None, None, :ln],
+            mask=mask[None, None],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[0, :, h]), np.asarray(ref[0, 0]),
+            atol=2e-5, rtol=1e-4, err_msg=f"h={h}",
+        )
+
+
 def test_chunk_quantized_int8():
     rng = np.random.default_rng(4)
     n_kv, d, page_size, num_pages, pages_per_seq = 2, 64, 128, 8, 4
