@@ -1,6 +1,7 @@
 from flash_attn_tpu.serving.cache import (
     PageAllocator,
     PagedKVCache,
+    append_span,
     append_token,
     init_cache,
     write_prompt,
@@ -19,6 +20,7 @@ __all__ = [
     "PagedKVCache",
     "ServingEngine",
     "append_chunk",
+    "append_span",
     "append_token",
     "flash_attn_with_kvcache",
     "init_cache",

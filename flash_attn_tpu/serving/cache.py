@@ -247,6 +247,216 @@ def append_token(
     return PagedKVCache(k_pages, v_pages, None, None)
 
 
+def _append_span_kernel(
+    page_ids_ref,  # scalar prefetch (batch, nspan)
+    base_ref,  # scalar prefetch (batch,) page-aligned base slot
+    len_ref,  # scalar prefetch (batch,) length BEFORE the append (>= 0)
+    newlen_ref,  # scalar prefetch (batch,) tokens to write (0 = none)
+    *refs,
+    quantized: bool,
+):
+    """RMW one page per grid step, writing EVERY chunk token that lands
+    in it at once (page-aligned staging is prepared by the launcher)."""
+    idx = 0
+    sk_ref, sv_ref = refs[idx : idx + 2]  # (1, 1, h, ps, d) staged tokens
+    idx += 2
+    if quantized:
+        sks_ref, svs_ref = refs[idx : idx + 2]  # (1, 1, h, 1, ps)
+        idx += 2
+    kin_ref, vin_ref = refs[idx : idx + 2]  # (h, 1, ps, d) aliased pages
+    idx += 2
+    if quantized:
+        ksin_ref, vsin_ref = refs[idx : idx + 2]
+        idx += 2
+    if quantized:
+        kout_ref, vout_ref, ksout_ref, vsout_ref = refs[idx : idx + 4]
+    else:
+        kout_ref, vout_ref = refs[idx : idx + 2]
+
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    ps = kin_ref.shape[2]
+    lo = len_ref[b]
+    hi = lo + newlen_ref[b]
+    row_global = (
+        base_ref[b] + p * ps
+        + jax.lax.broadcasted_iota(jnp.int32, (1, 1, ps, 1), 2)
+    )
+    rowmask = (row_global >= lo) & (row_global < hi)
+    kout_ref[...] = jnp.where(
+        rowmask, jnp.swapaxes(sk_ref[0], 0, 1), kin_ref[...]
+    )
+    vout_ref[...] = jnp.where(
+        rowmask, jnp.swapaxes(sv_ref[0], 0, 1), vin_ref[...]
+    )
+    if quantized:
+        lane_global = (
+            base_ref[b] + p * ps
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ps), 3)
+        )
+        lanemask = (lane_global >= lo) & (lane_global < hi)
+        ksout_ref[...] = jnp.where(
+            lanemask, jnp.swapaxes(sks_ref[0], 0, 1), ksin_ref[...]
+        )
+        vsout_ref[...] = jnp.where(
+            lanemask, jnp.swapaxes(svs_ref[0], 0, 1), vsin_ref[...]
+        )
+
+
+def append_span(
+    cache: PagedKVCache,
+    new_k: jax.Array,  # (batch, sq, n_kv_heads, d)
+    new_v: jax.Array,
+    page_table: jax.Array,  # (batch, pages_max) int32
+    lengths: jax.Array,  # (batch,) length BEFORE the append; < 0 inactive
+    new_lens: jax.Array | None = None,  # (batch,) valid rows (<= sq)
+) -> PagedKVCache:
+    """Append up to ``sq`` tokens per sequence in ONE dispatch: one page
+    RMW per TOUCHED page (ceil(sq/page_size)+1 per sequence), not one
+    per token — the multi-token generalization of ``append_token``.
+
+    Token t of sequence b lands at slot ``lengths[b] + t`` for
+    ``t < new_lens[b]``; inactive rows (length < 0) and padding rows
+    write nothing (their page fetches redirect to the reserved scratch
+    page 0). The launcher stages the chunk page-aligned with an XLA
+    gather, so the kernel's RMW is a pure row-select."""
+    batch, sq, h, d = new_k.shape
+    ps = cache.page_size
+    method = _quant_method(cache)
+    quantized = method is not None
+    if new_lens is None:
+        new_lens = jnp.full((batch,), sq, jnp.int32)
+    new_lens = new_lens.astype(jnp.int32)
+    active = lengths >= 0
+    safe_len = jnp.maximum(lengths, 0)
+    eff_new = jnp.where(active, new_lens, 0)
+    nspan = (sq - 1) // ps + 2  # worst-case pages a chunk can touch
+
+    # Per-(b, span) physical page ids; spans holding no written slot
+    # (and inactive rows) redirect to the reserved scratch page 0.
+    page_pos = safe_len[:, None] // ps + jnp.arange(nspan)[None]  # (b, ns)
+    span_start = page_pos * ps
+    touched = (
+        active[:, None]
+        & (span_start < (safe_len + eff_new)[:, None])
+        & (page_pos < page_table.shape[1])
+    )
+    page_ids = jnp.take_along_axis(
+        page_table,
+        jnp.clip(page_pos, 0, page_table.shape[1] - 1),
+        axis=1,
+    )
+    page_ids = jnp.where(touched, page_ids, 0)
+
+    # Quantize per token, then stage page-aligned: staged slot r of span
+    # p holds chunk token t = base + p*ps + r - len (clipped gather; the
+    # kernel's row mask ignores out-of-range rows).
+    def quant(x):
+        if method is None:
+            return x.astype(cache.k_pages.dtype), None
+        xt = jnp.swapaxes(x, 1, 2)  # (b, h, sq, d)
+        payload, scales = qz.quantize_tokens(xt, method)
+        # payload (b, h, sq, d) -> (b, sq, h, d); scales (b, h, 1, sq)
+        return (
+            jnp.swapaxes(payload, 1, 2).astype(cache.k_pages.dtype),
+            scales,
+        )
+
+    k_p, k_s = quant(new_k)
+    v_p, v_s = quant(new_v)
+    base = (safe_len // ps) * ps  # (b,) page-aligned base slot
+
+    t_idx = (
+        base[:, None]
+        + jnp.arange(nspan * ps, dtype=jnp.int32)[None]
+        - safe_len[:, None]
+    )  # (b, nspan*ps) chunk-token index per staged row
+    t_clip = jnp.clip(t_idx, 0, sq - 1)
+
+    def stage(x):  # (b, sq, h, d) -> (b, nspan, h, ps, d)
+        g = jnp.take_along_axis(
+            x, t_clip[:, :, None, None], axis=1
+        )  # (b, nspan*ps, h, d)
+        return jnp.transpose(
+            g.reshape(batch, nspan, ps, h, d), (0, 1, 3, 2, 4)
+        )
+
+    def stage_scales(s):  # (b, h, 1, sq) -> (b, nspan, h, 1, ps)
+        g = jnp.take_along_axis(
+            s, t_clip[:, None, None, :], axis=3
+        )  # (b, h, 1, nspan*ps)
+        g = g.reshape(batch, h, 1, nspan, ps)
+        return jnp.transpose(g, (0, 3, 1, 2, 4)).astype(jnp.float32)
+
+    sk, sv = stage(k_p), stage(v_p)
+
+    staged_map = lambda b_, p_, *s: (b_, p_, 0, 0, 0)  # noqa: E731
+    page_map = lambda b_, p_, ids, *s: (0, ids[b_, p_], 0, 0)  # noqa: E731
+    staged_spec = pl.BlockSpec(
+        (1, 1, h, ps, d), staged_map, memory_space=pltpu.VMEM
+    )
+    sscale_spec = pl.BlockSpec(
+        (1, 1, h, 1, ps), staged_map, memory_space=pltpu.VMEM
+    )
+    page_spec = pl.BlockSpec(
+        (h, 1, ps, d), page_map, memory_space=pltpu.VMEM
+    )
+    pscale_spec = pl.BlockSpec(
+        (h, 1, 1, ps), page_map, memory_space=pltpu.VMEM
+    )
+
+    in_specs = [staged_spec, staged_spec]
+    args = [sk, sv]
+    if quantized:
+        in_specs += [sscale_spec, sscale_spec]
+        args += [stage_scales(k_s), stage_scales(v_s)]
+    in_specs += [page_spec, page_spec]
+    args += [cache.k_pages, cache.v_pages]
+    out_specs = [page_spec, page_spec]
+    out_shapes = [
+        jax.ShapeDtypeStruct(cache.k_pages.shape, cache.k_pages.dtype),
+        jax.ShapeDtypeStruct(cache.v_pages.shape, cache.v_pages.dtype),
+    ]
+    n_prefetch = 4
+    kin_idx = len(args) - 2
+    aliases = {n_prefetch + kin_idx: 0, n_prefetch + kin_idx + 1: 1}
+    if quantized:
+        in_specs += [pscale_spec, pscale_spec]
+        args += [cache.k_scales, cache.v_scales]
+        out_specs += [pscale_spec, pscale_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct(cache.k_scales.shape, jnp.float32),
+            jax.ShapeDtypeStruct(cache.v_scales.shape, jnp.float32),
+        ]
+        aliases[n_prefetch + kin_idx + 2] = 2
+        aliases[n_prefetch + kin_idx + 3] = 3
+
+    outs = pl.pallas_call(
+        functools.partial(_append_span_kernel, quantized=quantized),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=n_prefetch,
+            grid=(batch, nspan),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=default_interpret(),
+    )(
+        page_ids.astype(jnp.int32),
+        base.astype(jnp.int32),
+        safe_len.astype(jnp.int32),
+        eff_new.astype(jnp.int32),
+        *args,
+    )
+    if quantized:
+        return PagedKVCache(*outs)
+    return PagedKVCache(outs[0], outs[1], None, None)
+
+
 def _write_pages_kernel(
     page_ids_ref,  # scalar prefetch (n_pages,)
     *refs,

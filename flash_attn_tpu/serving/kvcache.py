@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from flash_attn_tpu.kernels.chunk import paged_chunk_attention
 from flash_attn_tpu.ops.rotary import apply_rotary_at_positions
-from flash_attn_tpu.serving.cache import PagedKVCache, append_token
+from flash_attn_tpu.serving.cache import PagedKVCache, append_span
 
 
 def append_chunk(
@@ -35,26 +35,11 @@ def append_chunk(
 ) -> PagedKVCache:
     """Append up to ``sq`` tokens per sequence to the paged cache.
 
-    Scans the single-token aliased-page write over the chunk rows; row t
-    of sequence b lands at position ``lengths[b] + t`` when
-    ``t < new_lens[b]`` (padding rows write to the reserved scratch
-    page). The pages must already be allocated (PageAllocator.extend)."""
-    batch, sq, h, d = new_k.shape
-    if new_lens is None:
-        new_lens = jnp.full((batch,), sq, jnp.int32)
-
-    def step(cache, xs):
-        t, k_t, v_t = xs
-        eff_len = jnp.where(t < new_lens, lengths + t, -1)
-        return append_token(cache, k_t, v_t, page_table, eff_len), None
-
-    xs = (
-        jnp.arange(sq, dtype=jnp.int32),
-        jnp.transpose(new_k, (1, 0, 2, 3)),  # (sq, batch, h, d)
-        jnp.transpose(new_v, (1, 0, 2, 3)),
-    )
-    cache, _ = jax.lax.scan(step, cache, xs)
-    return cache
+    One aliased RMW per TOUCHED page (cache.append_span) — not one per
+    token. Row t of sequence b lands at position ``lengths[b] + t`` when
+    ``t < new_lens[b]`` (padding/inactive rows write nothing). The pages
+    must already be allocated (PageAllocator.extend)."""
+    return append_span(cache, new_k, new_v, page_table, lengths, new_lens)
 
 
 def flash_attn_with_kvcache(

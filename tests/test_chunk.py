@@ -374,6 +374,46 @@ def test_flash_attn_with_kvcache_end_to_end():
     )
 
 
+def test_append_span_quantized_matches_token_appends():
+    """append_span on an int8 cache: one RMW per touched page must leave
+    the cache bit-identical to sequential per-token appends."""
+    from flash_attn_tpu.serving.cache import append_token
+
+    rng = np.random.default_rng(12)
+    n_kv, d, page_size, num_pages = 2, 64, 128, 8
+    batch, sq = 2, 20
+    lengths = jnp.asarray([100, 250], jnp.int32)  # mid-page starts
+    new_lens = jnp.asarray([20, 7], jnp.int32)  # ragged; row 0 crosses a page
+    table = jnp.asarray([[1, 2, 0, 0], [3, 4, 5, 0]], jnp.int32)
+    nk = jnp.asarray(rng.standard_normal((batch, sq, n_kv, d)), jnp.float32)
+    nv = jnp.asarray(rng.standard_normal((batch, sq, n_kv, d)), jnp.float32)
+    cache0 = init_cache(
+        n_kv, num_pages, page_size, d, quantization="int8"
+    )
+    got = append_chunk(cache0, nk, nv, table, lengths, new_lens)
+    want = cache0
+    for t in range(sq):
+        eff = jnp.where(t < new_lens, lengths + t, -1)
+        want = append_token(want, nk[:, t], nv[:, t], table, eff)
+    # Page 0 is the reserved scratch page: per-token appends dump the
+    # padding rows there while the span write (correctly) writes nothing
+    # — compare the real pages only.
+    np.testing.assert_array_equal(
+        np.asarray(got.k_pages)[:, 1:], np.asarray(want.k_pages)[:, 1:]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.v_pages)[:, 1:], np.asarray(want.v_pages)[:, 1:]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.k_scales)[:, 1:], np.asarray(want.k_scales)[:, 1:],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.v_scales)[:, 1:], np.asarray(want.v_scales)[:, 1:],
+        rtol=1e-6,
+    )
+
+
 def test_flash_attn_with_kvcache_rotary():
     """apply_rotary=True rotates q and new k at their global cache
     positions — equivalent to pre-rotating by hand."""
