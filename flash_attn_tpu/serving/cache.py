@@ -582,6 +582,7 @@ class PageAllocator:
         let those writes silently corrupt it."""
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
+        self.capacity = num_pages - reserved  # total allocatable pages
         self._free = list(range(num_pages - 1, reserved - 1, -1))
         self._owned: dict[int, list[int]] = {}
 

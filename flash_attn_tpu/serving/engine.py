@@ -118,6 +118,20 @@ class ServingEngine:
         self.alloc = PageAllocator(
             num_pages, page_size, pages_per_seq, reserved=1
         )
+        # With the pool at least one full sequence deep, decode-time
+        # growth always succeeds after preempting every other sequence —
+        # the invariant the preemption path (step()) relies on.
+        if self.alloc.capacity < min(
+            pages_per_seq,
+            -(-cfg.max_position_embeddings // page_size),
+        ):
+            raise ValueError(
+                f"num_pages={num_pages} (capacity {self.alloc.capacity} "
+                "after the reserved scratch page) cannot hold even one "
+                f"full sequence (min(pages_per_seq={pages_per_seq}, "
+                "ceil(max_position_embeddings/page_size)="
+                f"{-(-cfg.max_position_embeddings // page_size)}) pages)"
+            )
         self.page_table = np.zeros((max_batch, pages_per_seq), np.int32)
         self.lengths = np.full((max_batch,), -1, np.int32)  # -1 = free slot
         self.next_token = np.zeros((max_batch,), np.int32)
@@ -217,6 +231,10 @@ class ServingEngine:
                 f"page_size={self.pages_per_seq * self.page_size}, less "
                 "one generated-token slot)"
             )
+        # NB: no pool-size check is needed here — the __init__ capacity
+        # invariant (pool >= one full sequence) plus this per-sequence
+        # limit already guarantee any accepted prompt can be admitted
+        # once it reaches the queue head.
         req = Request(self._next_id, list(prompt), max_new_tokens)
         self._next_id += 1
         self.pending.append(req)
@@ -260,15 +278,23 @@ class ServingEngine:
 
     def _admit(self) -> None:
         """Admit every pending request that fits (slot + pages) in ONE
-        batched, bucketed prefill call."""
+        batched, bucketed prefill call.
+
+        The effective prompt is ``req.prompt + req.generated``: for fresh
+        requests that is just the prompt; for requests PREEMPTED mid-
+        decode (pool pressure, see step()) it recomputes the whole
+        context so generation continues where it left off (greedy
+        continuation is exact; sampled continuation re-draws from the
+        same distribution with a fresh step key)."""
         slots = self._free_slots()
         batch: list[tuple[int, Request, list[int]]] = []
         while self.pending and slots:
             req = self.pending[0]
-            if not self.alloc.can_admit(len(req.prompt) + 1):
+            eff_len = len(req.prompt) + len(req.generated)
+            if not self.alloc.can_admit(eff_len + 1):
                 break
             self.pending.pop(0)
-            pages = self.alloc.alloc(req.seq_id, len(req.prompt) + 1)
+            pages = self.alloc.alloc(req.seq_id, eff_len + 1)
             batch.append((slots.pop(0), req, pages))
         if not batch:
             return
@@ -278,7 +304,7 @@ class ServingEngine:
         else:
             first = self._prefill_single_shot(batch)
         for i, (slot, req, pages) in enumerate(batch):
-            n = len(req.prompt)
+            n = len(req.prompt) + len(req.generated)
             self.lengths[slot] = n
             # Long prompts: pages already below the band are dead from the
             # very first decode — reclaim before building the table row.
@@ -294,7 +320,8 @@ class ServingEngine:
     def _prefill_single_shot(self, batch) -> np.ndarray:
         """Whole prompts in one bucketed dispatch (dense self-attention);
         K/V written to pages afterwards. Returns first sampled tokens."""
-        max_len = max(len(req.prompt) for _, req, _ in batch)
+        prompts = [req.prompt + req.generated for _, req, _ in batch]
+        max_len = max(len(p) for p in prompts)
         # Clamp to the position-embedding table: a 128-rounded bucket may
         # exceed it (e.g. max_pos=1000, prompt 950 -> bucket 1024 would
         # crash the wpe broadcast); prefill handles any bucket length.
@@ -304,9 +331,9 @@ class ServingEngine:
         rows = _next_pow2(len(batch))
         ids = np.zeros((rows, bucket), np.int32)
         lens = np.zeros((rows,), np.int32)
-        for i, (_, req, _) in enumerate(batch):
-            ids[i, : len(req.prompt)] = req.prompt
-            lens[i] = len(req.prompt)
+        for i, p in enumerate(prompts):
+            ids[i, : len(p)] = p
+            lens[i] = len(p)
         logits, ks, vs = self._prefill(
             jnp.asarray(ids), jnp.asarray(lens)
         )
@@ -337,7 +364,8 @@ class ServingEngine:
         C = self.prefill_chunk
         ps = self.page_size
         rows = _next_pow2(len(batch))
-        lens = [len(req.prompt) for _, req, _ in batch]
+        prompts = [req.prompt + req.generated for _, req, _ in batch]
+        lens = [len(p) for p in prompts]
         max_len = max(lens)
         pages_per_chunk = C // ps
         tbl = np.zeros((rows, self.pages_per_seq), np.int32)
@@ -357,7 +385,7 @@ class ServingEngine:
                 c = max(0, min(n - off, C))
                 cl[i] = c
                 if c > 0:
-                    ids[i, :c] = req.prompt[off : off + c]
+                    ids[i, :c] = prompts[i][off : off + c]
                     span = pages[off // ps : off // ps + pages_per_chunk]
                     wtbl[i, : len(span)] = span
             logits, new_caches = self._chunk_prefill(
@@ -378,18 +406,54 @@ class ServingEngine:
             first[i] = int(np.asarray(row_tokens[i])[i])
         return first
 
+    def _preempt_youngest(self, exclude_slot: int) -> bool:
+        """Evict the most recently submitted active sequence back to the
+        pending queue (vLLM-style recompute preemption): its pages go to
+        the pool now; on re-admission the whole context (prompt +
+        generated so far) is re-prefilled and generation continues."""
+        cands = [
+            (r.seq_id, s)
+            for s, r in self.slot_req.items()
+            if s != exclude_slot
+        ]
+        if not cands:
+            return False
+        _, victim = max(cands)
+        vreq = self.slot_req.pop(victim)
+        self.alloc.release(vreq.seq_id)
+        self.lengths[victim] = -1
+        self.page_table[victim] = 0
+        self.pending.insert(0, vreq)
+        return True
+
     def step(self) -> None:
         """Admit what fits, then advance every active slot by one token."""
         self._admit()
         if not self.slot_req:
             return
-        # grow page tables where the next token crosses a page boundary;
-        # reclaim pages that fell out of the sliding-window band
+        # Reclaim out-of-band sliding-window pages FIRST (all slots), so
+        # the growth pass below sees every reclaimable page in the pool.
         for slot, req in list(self.slot_req.items()):
+            if self._reclaim_dead_pages(slot, req):
+                self.page_table[slot] = self.alloc.table_row(req.seq_id)
+        # Grow page tables where the next token crosses a page boundary.
+        # On pool exhaustion, preempt the youngest peer and retry — the
+        # __init__ capacity invariant guarantees a lone sequence can
+        # always grow to its retire cap.
+        for slot, req in list(self.slot_req.items()):
+            if slot not in self.slot_req:  # preempted by an earlier grow
+                continue
             new_len = int(self.lengths[slot]) + 1
-            page = self.alloc.extend(req.seq_id, new_len + 1)
-            freed = self._reclaim_dead_pages(slot, req)
-            if page is not None or freed:
+            while True:
+                try:
+                    page = self.alloc.extend(req.seq_id, new_len + 1)
+                    break
+                except RuntimeError as e:
+                    if "out of KV-cache pages" not in str(e):
+                        raise
+                    if not self._preempt_youngest(slot):
+                        raise
+            if page is not None:
                 self.page_table[slot] = self.alloc.table_row(req.seq_id)
         active = np.asarray(
             [s in self.slot_req for s in range(self.max_batch)]

@@ -324,6 +324,59 @@ def test_engine_submit_rejects_oversized_prompt():
     assert len(finished) == 1 and len(finished[0].generated) == 3
 
 
+def test_engine_preempts_on_page_exhaustion():
+    """Decode-time page growth under a tight pool: the engine preempts
+    the youngest sequence (recompute on re-admission) instead of
+    crashing, and greedy outputs still match the straight-line decode."""
+    cfg, model, params = _setup()
+    rng = np.random.default_rng(11)
+    prompts = [
+        list(rng.integers(0, cfg.vocab_size, size=120)) for _ in range(2)
+    ]
+    # capacity 3 pages: both prompts fit (1 page each) but both crossing
+    # the 128 boundary needs 4 pages total -> one preemption must occur.
+    engine = ServingEngine(
+        params, cfg, max_batch=2, num_pages=4, page_size=128,
+        pages_per_seq=2,
+    )
+    for p in prompts:
+        engine.submit(p, max_new_tokens=16)
+    finished = engine.run(max_steps=200)
+    assert len(finished) == 2
+    by_id = {r.seq_id: r for r in finished}
+    for i, prompt in enumerate(prompts):
+        model_ids = jnp.asarray(prompt, jnp.int32)[None]
+        gen_ref = []
+        for _ in range(16):
+            logits = model.apply(params, model_ids)
+            tok = int(jnp.argmax(logits[0, -1]))
+            gen_ref.append(tok)
+            model_ids = jnp.concatenate(
+                [model_ids, jnp.asarray([[tok]], jnp.int32)], axis=1
+            )
+        assert by_id[i].generated == gen_ref, (
+            i, by_id[i].generated, gen_ref,
+        )
+
+
+def test_engine_rejects_pool_below_one_sequence():
+    """The __init__ capacity invariant: a pool that cannot hold even one
+    full sequence would let decode-time growth deadlock — reject it."""
+    cfg, _, params = _setup()
+    cfg = GPT2Config.tiny(dtype=jnp.float32, max_position_embeddings=1024)
+    model = GPT2LMHeadModel(cfg)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 64)),
+        jnp.int32,
+    )
+    params = model.init(jax.random.PRNGKey(0), ids)
+    with pytest.raises(ValueError, match="cannot hold even one"):
+        ServingEngine(
+            params, cfg, max_batch=2, num_pages=4, page_size=128,
+            pages_per_seq=8,
+        )
+
+
 def test_engine_streaming_window_frees_pages():
     """Streaming sliding-window serving: with cfg.window, pages that fell
     out of the band return to the pool MID-FLIGHT, and freeing must not
