@@ -58,6 +58,50 @@ def attention_mask(
     return mask
 
 
+def block_mask_predicates(
+    iq, ik, *, block_q: int, block_k: int, num_k_blocks: int,
+    causal: bool, bounds_possible: bool,
+    window_left: int | None, window_right: int | None,
+):
+    """Static/traced per-block mask requirement for the RECTANGULAR
+    (iq, ik) grid, shared by the fwd and bwd kernels so the band-edge
+    algebra can never diverge between them.
+
+    Returns (needs_mask, should_run, have_mask, have_skip):
+      - ``needs_mask``: the block intersects a mask component (padded
+        bounds column, causal diagonal, or a window band edge) and must
+        take the masked path;
+      - ``should_run``: the block has at least one visible (q, k) pair
+        (False = entirely above the diagonal / outside the band);
+      - ``have_mask`` / ``have_skip``: Python bools — whether any mask /
+        skip component exists statically for this launch.
+    """
+    needs_mask = jnp.bool_(False)
+    should_run = jnp.bool_(True)
+    have_mask = have_skip = False
+    r0, r1 = iq * block_q, iq * block_q + block_q - 1
+    c0, c1 = ik * block_k, ik * block_k + block_k - 1
+    if bounds_possible:
+        needs_mask = needs_mask | (ik == num_k_blocks - 1)
+        have_mask = True
+    if causal:
+        # Not entirely below the diagonal: min_row < max_col.
+        needs_mask = needs_mask | (r0 < c1)
+        should_run = should_run & (r1 >= c0)
+        have_mask = have_skip = True
+    if window_left is not None:
+        # Mask-free wrt the left band edge iff min_col >= max_row - L.
+        needs_mask = needs_mask | (c0 < r1 - window_left)
+        should_run = should_run & (c1 >= r0 - window_left)
+        have_mask = have_skip = True
+    if window_right is not None:
+        # Mask-free wrt the right band edge iff max_col <= min_row + R.
+        needs_mask = needs_mask | (c1 > r0 + window_right)
+        should_run = should_run & (c0 <= r1 + window_right)
+        have_mask = have_skip = True
+    return needs_mask, should_run, have_mask, have_skip
+
+
 def classify_segment_block(qp_vec, kp_vec, qs_vec, ks_vec, *, causal,
                            bounds_possible, window_left=None,
                            window_right=None):

@@ -46,8 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.kernels import prng
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
-from flash_attn_tpu.kernels.common import classify_segment_block
-from flash_attn_tpu.kernels.common import NUM_LANES
+from flash_attn_tpu.kernels.common import (
+    NUM_LANES,
+    block_mask_predicates,
+    classify_segment_block,
+)
 
 LOG2E = 1.4426950408889634
 # dq carry threshold: use the VMEM scratch while (sq_pad, d) fp32 fits,
@@ -318,30 +321,17 @@ def _fused_kernel(
             lambda: _compute(masked=True)
         )
     else:
-        # Same band/diagonal algebra as the forward (see flash_fwd.py):
-        # needs_mask when the block crosses the causal diagonal, a window
-        # band edge, or the padded-bounds column; should_run skips blocks
-        # with no visible pair.
-        needs_mask = jnp.bool_(False)
-        should_run = jnp.bool_(True)
-        have_mask = have_skip = False
-        r0, r1 = iq * block_q, iq * block_q + block_q - 1
-        c0, c1 = ik * block_k, ik * block_k + block_k - 1
-        if bounds_possible:
-            needs_mask = needs_mask | (ik == num_k_blocks - 1)
-            have_mask = True
-        if causal:
-            needs_mask = needs_mask | (r0 < c1)
-            should_run = should_run & (r1 >= c0)
-            have_mask = have_skip = True
-        if window_left is not None:
-            needs_mask = needs_mask | (c0 < r1 - window_left)
-            should_run = should_run & (c1 >= r0 - window_left)
-            have_mask = have_skip = True
-        if window_right is not None:
-            needs_mask = needs_mask | (c1 > r0 + window_right)
-            should_run = should_run & (c0 <= r1 + window_right)
-            have_mask = have_skip = True
+        # Same band/diagonal algebra as the forward — literally: the
+        # shared helper in kernels/common.py keeps fwd and bwd masking
+        # provably in sync.
+        needs_mask, should_run, have_mask, have_skip = (
+            block_mask_predicates(
+                iq, ik, block_q=block_q, block_k=block_k,
+                num_k_blocks=num_k_blocks, causal=causal,
+                bounds_possible=bounds_possible,
+                window_left=window_left, window_right=window_right,
+            )
+        )
         if have_skip:
             pl.when(should_run & needs_mask)(lambda: _compute(masked=True))
             pl.when(should_run & jnp.logical_not(needs_mask))(

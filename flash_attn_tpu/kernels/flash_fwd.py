@@ -33,7 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flash_attn_tpu.kernels import prng
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
-from flash_attn_tpu.kernels.common import classify_segment_block
+from flash_attn_tpu.kernels.common import (
+    block_mask_predicates,
+    classify_segment_block,
+)
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
@@ -529,30 +532,16 @@ def _fwd_kernel(
         # score tile). ``should_run`` skips blocks with no visible pair:
         # entirely above the causal diagonal or entirely outside the band
         # (reference analog: fmha_fprop_kernel_1xN.h:302 skips q steps
-        # below the k block).
-        needs_mask = jnp.bool_(False)
-        should_run = jnp.bool_(True)
-        have_mask = have_skip = False
-        r0, r1 = iq * block_q, iq * block_q + block_q - 1
-        c0, c1 = ik * block_k, ik * block_k + block_k - 1
-        if bounds_possible:
-            needs_mask = needs_mask | (ik == num_k_blocks - 1)
-            have_mask = True
-        if causal:
-            # Not entirely below the diagonal: min_row < max_col.
-            needs_mask = needs_mask | (r0 < c1)
-            should_run = should_run & (r1 >= c0)
-            have_mask = have_skip = True
-        if window_left is not None:
-            # Mask-free wrt the left band edge iff min_col >= max_row - L.
-            needs_mask = needs_mask | (c0 < r1 - window_left)
-            should_run = should_run & (c1 >= r0 - window_left)
-            have_mask = have_skip = True
-        if window_right is not None:
-            # Mask-free wrt the right band edge iff max_col <= min_row + R.
-            needs_mask = needs_mask | (c1 > r0 + window_right)
-            should_run = should_run & (c0 <= r1 + window_right)
-            have_mask = have_skip = True
+        # below the k block). Shared with the backward kernel
+        # (kernels/common.py) so the band algebra cannot diverge.
+        needs_mask, should_run, have_mask, have_skip = (
+            block_mask_predicates(
+                iq, ik, block_q=block_q, block_k=block_k,
+                num_k_blocks=num_k_blocks, causal=causal,
+                bounds_possible=bounds_possible,
+                window_left=window_left, window_right=window_right,
+            )
+        )
         masked_fn = _compute_diag if use_diag else (
             lambda: _compute(masked=True)
         )
