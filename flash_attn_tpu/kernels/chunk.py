@@ -65,6 +65,7 @@ def _chunk_kernel(
     softcap: float | None,
     compute_dtype=jnp.float32,
     qk_int8: bool = False,
+    heads_per_slice: int | None = None,
 ):
     ppb = pages_per_block
     idx = 0
@@ -113,6 +114,16 @@ def _chunk_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    # Scoped-VMEM control: one (rows, bk) fp32 score tile at GPT-2-style
+    # configs (12 heads x 512-token chunk = 6144 rows) needs >12 MB per
+    # temporary and blows the 16 MB kernel stack. Process kv heads in
+    # slices of ``heads_per_slice`` (the fwd kernel's q-chain trick along
+    # the head axis): each slice's score tile is (hps*gq, bk), and the
+    # mask/position algebra — head-independent — is computed once and
+    # shared by every slice.
+    hps = heads_per_slice or n_kv_heads
+    rows_s = hps * gq
+
     @pl.when(live)
     def _compute():
         # compute_dtype: bf16 dots (fp32 accumulation) ride the MXU's
@@ -120,75 +131,81 @@ def _chunk_kernel(
         # prefill is dot-bound (unlike single-token decode). int8 page
         # payloads cast to bf16 exactly (|x| <= 127 fits the mantissa);
         # fp32 callers (tests) keep exact fp32 dots.
-        if qk_int8:
-            # int8 x int8 -> int32 QK^T on the MXU's 2x-rate int8 mode:
-            # the cache payload is ALREADY int8 (its per-token scales are
-            # applied below via the existing `quantized` branch); q was
-            # quantized per token by the launcher.
-            q = q_ref[0]  # (n_kv, gq, d) int8
-            k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1)
-        else:
-            q = q_ref[0].astype(compute_dtype)  # (n_kv, gq, d)
-            k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(
-                compute_dtype
-            )  # (n_kv, bk, d)
-        # Batched over kv heads: (n_kv, gq, d) x (n_kv, bk, d) ->
-        # (n_kv, gq, bk) — every chunk row and group member in one dot.
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32 if qk_int8 else jnp.float32,
-        )
-        s = s.astype(jnp.float32) * jnp.float32(scale)
-        if qk_int8:
-            s = s * qscale_ref[0]  # (n_kv, gq, 1) broadcasts over bk
+        k_all = jnp.concatenate([r[:, 0] for r in k_refs], axis=1)
+        v_all = jnp.concatenate([r[:, 0] for r in v_refs], axis=1)
         if quantized:
-            ks = jnp.concatenate([r[:, 0] for r in ks_refs], axis=-1)
-            s = s * ks.reshape(n_kv_heads, 1, bk)
-        s = s.reshape(rows, bk)
-        if softcap is not None:
-            # Logit soft-capping before bias/mask (scores already scaled).
-            s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
+            ks_all = jnp.concatenate([r[:, 0] for r in ks_refs], axis=-1)
+            vs_all = jnp.concatenate([r[:, 0] for r in vs_refs], axis=-1)
 
         # Row r = (kv_head * group + g) * sq + t: chunk row index t and
-        # its global query position.
+        # its global query position. Identical for every head slice.
         t_row = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 0) % sq
+            jax.lax.broadcasted_iota(jnp.int32, (rows_s, bk), 0) % sq
         )
         qpos = first_qpos + t_row
-        pos = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1) + j * bk
-        if has_alibi:
-            # -slope * (q_pos - key_pos), per q head (replicated to rows).
-            s = s + alibi_ref[...] * (pos - qpos).astype(jnp.float32)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (rows_s, bk), 1) + j * bk
+        rel = (pos - qpos).astype(jnp.float32) if has_alibi else None
         mask = (pos < length) & (pos <= qpos) & (t_row < chunk_len)
         if window_left is not None:
             mask = mask & (pos >= qpos - window_left)
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        m_prev = m_ref[...]  # (rows, 1)
-        l_prev = l_ref[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
-        p = jnp.where(mask, p, 0.0)
-        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[...] = m_next
+        for h0 in range(0, n_kv_heads, hps):
+            hsl = slice(h0, h0 + hps)
+            rsl = slice(h0 * gq, (h0 + hps) * gq)
+            if qk_int8:
+                # int8 x int8 -> int32 QK^T on the MXU's 2x-rate int8
+                # mode: the cache payload is ALREADY int8 (its per-token
+                # scales are applied below via the existing `quantized`
+                # branch); q was quantized per token by the launcher.
+                q = q_ref[0, hsl]  # (hps, gq, d) int8
+                k = k_all[hsl]
+            else:
+                q = q_ref[0, hsl].astype(compute_dtype)  # (hps, gq, d)
+                k = k_all[hsl].astype(compute_dtype)  # (hps, bk, d)
+            # Batched over kv heads: (hps, gq, d) x (hps, bk, d) ->
+            # (hps, gq, bk) — every chunk row and group member in one dot.
+            s = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=(
+                    jnp.int32 if qk_int8 else jnp.float32
+                ),
+            )
+            s = s.astype(jnp.float32) * jnp.float32(scale)
+            if qk_int8:
+                s = s * qscale_ref[0, hsl]  # (hps, gq, 1) broadcasts
+            if quantized:
+                s = s * ks_all[hsl].reshape(hps, 1, bk)
+            s = s.reshape(rows_s, bk)
+            if softcap is not None:
+                # Soft-capping before bias/mask (scores already scaled).
+                s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
+            if has_alibi:
+                # -slope * (q_pos - key_pos), per q head (replicated).
+                s = s + alibi_ref[rsl] * rel
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-        v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1).astype(
-            compute_dtype
-        )  # (n_kv, bk, d)
-        if quantized:
-            vs = jnp.concatenate([r[:, 0] for r in vs_refs], axis=-1)
-            p = (
-                p.reshape(n_kv_heads, gq, bk)
-                * vs.reshape(n_kv_heads, 1, bk)
-            ).reshape(rows, bk)
-        pv = jax.lax.dot_general(
-            p.reshape(n_kv_heads, gq, bk).astype(compute_dtype), v,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (n_kv, gq, d)
-        acc_ref[...] = acc_ref[...] * alpha + pv.reshape(rows, -1)
+            m_prev = m_ref[rsl]  # (rows_s, 1)
+            l_prev = l_ref[rsl]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            p = jnp.where(mask, p, 0.0)
+            l_ref[rsl] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+            m_ref[rsl] = m_next
+
+            v = v_all[hsl].astype(compute_dtype)  # (hps, bk, d)
+            if quantized:
+                p = (
+                    p.reshape(hps, gq, bk)
+                    * vs_all[hsl].reshape(hps, 1, bk)
+                ).reshape(rows_s, bk)
+            pv = jax.lax.dot_general(
+                p.reshape(hps, gq, bk).astype(compute_dtype), v,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (hps, gq, d)
+            acc_ref[rsl] = acc_ref[rsl] * alpha + pv.reshape(rows_s, -1)
 
     @pl.when(j == num_blocks - 1)
     def _finalize():
@@ -306,6 +323,19 @@ def paged_chunk_attention(
     rows = n_kv_heads * group * sq_pad
     ppb_cap = 8 if rows * 512 * 4 <= 4 * 1024 * 1024 else 4
     pages_per_block = min(ppb_cap, pages_max)
+    # Scoped-VMEM bound: the kernel materializes a (hps*gq, bk) fp32
+    # score tile (plus exp/mask temporaries of the same shape) per head
+    # slice; cap a slice at ~2 MB so the ~4 live temporaries stay well
+    # under the 16 MB kernel stack (measured OOM at 12 heads x 512-token
+    # chunks when sliced per whole batch entry).
+    gq_pad = group * sq_pad
+    bk_hint = pages_per_block * page_size
+    slice_budget = 2 * 1024 * 1024
+    heads_per_slice = 1
+    for cand in range(n_kv_heads, 0, -1):
+        if n_kv_heads % cand == 0 and cand * gq_pad * bk_hint * 4 <= slice_budget:
+            heads_per_slice = cand
+            break
     if pages_max % pages_per_block != 0:
         pad = pages_per_block - pages_max % pages_per_block
         page_table = jnp.pad(page_table, [(0, 0), (0, pad)])
@@ -398,6 +428,7 @@ def paged_chunk_attention(
                 jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
             ),
             qk_int8=qk_int8,
+            heads_per_slice=heads_per_slice,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
