@@ -11,6 +11,10 @@ Writes WINDOW.md with --write-md.
 
 import argparse
 import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -73,8 +77,11 @@ def spotcheck_decode_window_sinks():
                 s = dense_k[h][vis] @ np.asarray(q[b, h]) * (d ** -0.5)
                 p = np.exp(s - s.max())
                 ref = (p / p.sum()) @ dense_v[h][vis]
+                # The DMA path dots in bf16 by design (decode.py: the
+                # cast-to-bf16 comment) even for f32 inputs: bf16
+                # envelope, not fp32 (measured max err ~7e-4 on chip).
                 np.testing.assert_allclose(
-                    out[b, h], ref, atol=2e-5, rtol=1e-4,
+                    out[b, h], ref, atol=5e-3, rtol=2e-2,
                     err_msg=f"w={window} sinks={sinks} b={b} h={h}",
                 )
     print("decode window+sinks spot check (DMA path): OK")
@@ -126,8 +133,11 @@ def bench_decode_window(md_lines=None):
             # feed output back into q (same shape) to serialize the chain
             return f(q, kp, vp, ln, tbl)
 
+        # Long chain: windowed decode steps are tens of us; at chain=8
+        # the chain total sits under the ~30 ms tunnel RTT and the
+        # single-call subtraction returns ~0 (measured round 4).
         t = median_time(step, q, k_pages, v_pages, lengths, table,
-                        iters=5, chain=8)
+                        iters=5, chain=256)
         if w is None:
             t_full = t
         label = "full" if w is None else str(w)

@@ -128,7 +128,9 @@ def main():
     long_prompt = np.asarray(
         rng.integers(0, cfg.vocab_size, (long_s,)), np.int64
     )
-    for label, chunk in (("single_shot", None), ("chunked512", 512)):
+    for label, chunk in (
+        ("single_shot", None), ("chunked512", 512), ("chunked256", 256)
+    ):
         eng2 = ServingEngine(
             params, cfg, max_batch=2, num_pages=2 * pages_per_seq + 1,
             page_size=page_size, pages_per_seq=pages_per_seq,
@@ -246,11 +248,13 @@ def write_md(cfg, args, r):
     if "longprefill_single_shot" in r:
         lines += [
             "",
-            "Long-prompt (1920 tok) admission, single-shot vs chunked "
-            f"prefill (prefill_chunk=512): "
-            f"{r['longprefill_single_shot']:.1f} ms vs "
-            f"{r['longprefill_chunked512']:.1f} ms p50. Chunked prefill "
-            "trades some latency (4 dispatches instead of 1) for "
+            "Long-prompt (1920 tok) admission p50, single-shot vs chunked "
+            "prefill: "
+            f"{r['longprefill_single_shot']:.1f} ms single-shot, "
+            f"{r['longprefill_chunked512']:.1f} ms chunk=512 (4 "
+            "dispatches), "
+            f"{r['longprefill_chunked256']:.1f} ms chunk=256 (8 "
+            "dispatches). Chunked prefill trades some latency for "
             "prompt-length-independent compile shapes and O(batch*chunk) "
             "activation memory.",
         ]

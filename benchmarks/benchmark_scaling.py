@@ -70,7 +70,7 @@ def measure_single_chip(steps: int):
     return b * s / dt, dt, n_params, b, s
 
 
-def project(n_chips, tok_1chip, t_step_1chip, n_params):
+def project(n_chips, tok_1chip, t_step_1chip, n_params, overlap=OVERLAP):
     """Weak-scaling DP projection: per-chip batch fixed; grads all-reduced."""
     n_hosts = max(1, n_chips // CHIPS_PER_HOST)
     grad_bytes = 4 * n_params  # fp32 grads
@@ -82,7 +82,7 @@ def project(n_chips, tok_1chip, t_step_1chip, n_params):
         # DCN stage dominates: each host moves 2*(h-1)/h * bytes over DCN.
         t_comm = 2 * (n_hosts - 1) / n_hosts * grad_bytes / BW_DCN
     t_bwd = t_step_1chip * 2 / 3  # bwd ~ 2/3 of a fwd+bwd+opt step
-    exposed = max(0.0, t_comm - OVERLAP * t_bwd)
+    exposed = max(0.0, t_comm - overlap * t_bwd)
     t_step = t_step_1chip + exposed
     toks = tok_1chip * n_chips * (t_step_1chip / t_step)
     eff = toks / (tok_1chip * n_chips)
@@ -163,6 +163,34 @@ def main():
 
     lines += [
         "",
+        "## Overlap sensitivity (error bars on the projected rows)",
+        "",
+        "The 80% all-reduce/backward overlap is UNMEASURED (one physical",
+        "chip): efficiency under 0% (fully exposed, hard floor) / 50% /",
+        "80% / 100% overlap bounds the projection. At this model/step",
+        "size the DCN all-reduce (~30 ms at 4 hosts) hides under the",
+        "~60 ms backward pass at any overlap >= 50%, so the spread is",
+        "carried entirely by the 0% floor; larger models (grad bytes",
+        "scale with P, step time with P*tokens) keep roughly this ratio",
+        "until per-chip batch shrinks.",
+        "",
+        "| chips | hosts | eff @ 0% | eff @ 50% | eff @ 80% | eff @ 100% |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n_chips in (8, 16, 32):
+        n_hosts = max(1, n_chips // CHIPS_PER_HOST)
+        effs = [
+            project(n_chips, tok1, t1, n_params, overlap=ov)[1]
+            for ov in (0.0, 0.5, 0.8, 1.0)
+        ]
+        lines.append(
+            f"| {n_chips} | {n_hosts} | "
+            + " | ".join(f"{e * 100:.1f}%" for e in effs)
+            + " |"
+        )
+
+    lines += [
+        "",
         "## Ring-SP attention at S=64K (BASELINE config #5 shape, projected)",
         "",
         "Zigzag causal ring, b=1 h=16 d=128, bf16 KV, fwd-only. Exchange",
@@ -177,7 +205,25 @@ def main():
         lines.append(
             f"| {n_chips} | {n_hosts} | {toks:,.0f} | {t_total * 1e3:.1f} ms |"
         )
-    lines.append("")
+    lines += [
+        "",
+        "## Overlap-assumption validation (round 3)",
+        "",
+        "`python benchmarks/validate_ring_overlap.py` (virtual 8-device CPU",
+        "mesh) confirms the *scheduled* compiled HLO issues every ring",
+        "`collective-permute` interleaved with compute on both sides — i.e.",
+        "the program hands XLA's latency-hiding scheduler an overlappable",
+        "schedule (6/6 rotations for a 4-device fwd+bwd ring), and ring",
+        "output matches single-device attention to 3e-7.",
+        "",
+        "What this does NOT validate: the TPU runtime's actual ICI-transfer",
+        "hiding (the async collective-permute-start/done placement is a TPU",
+        "LHS-scheduler decision) — that, and the projected 80% all-reduce",
+        "overlap in the weak-scaling table, remain unmeasured until >= 2",
+        "real chips are available. The sensitivity table above bounds the",
+        "cost of that assumption; treat every \"projected\" row accordingly.",
+        "",
+    ]
 
     out_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
     with open(out_path, "w") as f:
