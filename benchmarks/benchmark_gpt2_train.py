@@ -25,12 +25,12 @@ import optax
 from flash_attn_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel, make_train_step
 
 
-def run_config(b, s, layers=12, steps=20, dropout=0.1):
+def run_config(b, s, layers=12, steps=20, dropout=0.1, remat=False):
     """One measured train-step config. Returns a result dict."""
     cfg = GPT2Config(
         vocab_size=50257, n_layer=layers, n_head=12, n_embd=768,
         max_position_embeddings=max(1024, s), dropout=dropout,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, remat=remat,
     )
     model = GPT2LMHeadModel(cfg)
     rng = np.random.default_rng(0)
@@ -89,12 +89,20 @@ def main():
     # batch scaled down as S grows; plus a same-batch 4K row to separate
     # the batch effect from the seqlen effect.
     rows = []
-    for b, s in ((8, 1024), (2, 4096), (8, 4096), (1, 8192), (4, 8192)):
-        r = run_config(b, s, args.layers, args.steps)
+    for b, s, remat in (
+        (8, 1024, False),
+        (2, 4096, False),
+        (8, 4096, True),   # 12 layers' live activations blow HBM w/o remat
+        (1, 8192, True),
+        (4, 8192, True),
+    ):
+        r = run_config(b, s, args.layers, args.steps, remat=remat)
+        r["remat"] = remat
         rows.append(r)
         print(
-            f"b={b} S={s}: {r['ms']:.1f} ms, {r['tok_s']:,.0f} tok/s, "
-            f"MFU {r['mfu']:.1f}%, attn {r['attn_frac']:.0f}% of flops",
+            f"b={b} S={s} remat={remat}: {r['ms']:.1f} ms, "
+            f"{r['tok_s']:,.0f} tok/s, MFU {r['mfu']:.1f}%, "
+            f"attn {r['attn_frac']:.0f}% of flops",
             flush=True,
         )
     lines = [
@@ -104,12 +112,13 @@ def main():
         "v5e chip. `attn %` = share of step FLOPs inside the flash "
         "attention kernels (causal, fwd 2 dots + bwd 5 dots).",
         "",
-        "| batch | seqlen | ms/step | tokens/s | MFU | attn % of flops |",
-        "|---|---|---|---|---|---|",
+        "| batch | seqlen | remat | ms/step | tokens/s | MFU | attn % of flops |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
-            f"| {r['b']} | {r['s']} | {r['ms']:.1f} | {r['tok_s']:,.0f} | "
+            f"| {r['b']} | {r['s']} | {'yes' if r['remat'] else 'no'} "
+            f"| {r['ms']:.1f} | {r['tok_s']:,.0f} | "
             f"**{r['mfu']:.1f}%** | {r['attn_frac']:.0f}% |"
         )
     lines += [

@@ -24,12 +24,18 @@ write with this compute). Causality is always enforced against that
 position; masking, ALiBi, softcap and the sliding window follow
 ops/attention semantics.
 
-Grid (batch, kv_block): one step covers ``pages_per_block`` pages for all
-kv heads and all chunk rows at once — scores are one
-(n_kv * group * sq, block) tile, so the MXU sees wide batched dots
-instead of sq separate decode dispatches. Dead key blocks (beyond the
-sequence, or below the window band of every chunk row) redirect their
-page fetch and skip compute.
+Grid (batch, head_slice, kv_block): one step covers ``pages_per_block``
+pages for ``heads_per_slice`` kv heads and all chunk rows at once —
+scores are one (hps * group * sq, block) tile, so the MXU sees wide
+batched dots instead of sq separate decode dispatches. The head axis is
+a GRID dimension, not an in-kernel loop: Mosaic does NOT reuse stack
+slots across an unrolled Python loop, so slicing inside the kernel left
+every slice's score/exp temporaries co-resident (measured 16.9 MB stack
+at 12 heads x 512-token chunks even with 1-head slices — the round-4
+serving OOM); as a grid axis each step holds ONE slice's temporaries and
+the inter-step pipeline hides the per-slice page refetch. Dead key
+blocks (beyond the sequence, or below the window band of every chunk
+row) redirect their page fetch and skip compute.
 """
 
 from __future__ import annotations
@@ -44,6 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 from flash_attn_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     default_interpret,
+    paged_block_live,
+    paged_block_softmax,
+    paged_visibility_mask,
 )
 
 
@@ -68,14 +77,15 @@ def _chunk_kernel(
     heads_per_slice: int | None = None,
 ):
     ppb = pages_per_block
+    hps = heads_per_slice
     idx = 0
-    q_ref = refs[idx]  # (1, n_kv, group*sq, d)
+    q_ref = refs[idx]  # (1, hps, group*sq, d) — this slice's q
     idx += 1
     if qk_int8:
-        qscale_ref = refs[idx]  # (1, n_kv, gq, 1) fp32 per-row q scales
+        qscale_ref = refs[idx]  # (1, hps, gq, 1) fp32 per-row q scales
         idx += 1
     if has_alibi:
-        alibi_ref = refs[idx]  # (rows, 1) fp32 per-ROW slopes
+        alibi_ref = refs[idx]  # (hps*gq, 1) fp32 per-ROW slopes
         idx += 1
     k_refs = refs[idx : idx + ppb]
     idx += ppb
@@ -90,11 +100,10 @@ def _chunk_kernel(
     o_ref, m_ref, l_ref, acc_ref = refs[idx : idx + 4]
 
     b = pl.program_id(0)
-    j = pl.program_id(1)
+    j = pl.program_id(2)
     length = lengths_ref[b]
     chunk_len = chunk_lens_ref[b]
     gq = group * sq
-    rows = n_kv_heads * gq
     bk = ppb * page_size
     first_qpos = length - chunk_len  # global position of chunk row 0
 
@@ -103,10 +112,12 @@ def _chunk_kernel(
     # position (= length - 1), and (c) inside some row's window band —
     # the weakest (loosest) lower bound across rows is the FIRST row's:
     # pos >= first_qpos - left (the last row's band starts later, so
-    # using it would skip blocks early rows still need).
-    live = j * bk < length
-    if window_left is not None:
-        live = live & ((j + 1) * bk > first_qpos - window_left)
+    # using it would skip blocks early rows still need). Shared algebra:
+    # kernels/common.py paged_block_live (the `09ce7a7` bug class).
+    live = paged_block_live(
+        j, bk, length=length, window_left=window_left,
+        first_band_pos=first_qpos - (window_left or 0),
+    )
 
     @pl.when(j == 0)
     def _init():
@@ -114,14 +125,6 @@ def _chunk_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # Scoped-VMEM control: one (rows, bk) fp32 score tile at GPT-2-style
-    # configs (12 heads x 512-token chunk = 6144 rows) needs >12 MB per
-    # temporary and blows the 16 MB kernel stack. Process kv heads in
-    # slices of ``heads_per_slice`` (the fwd kernel's q-chain trick along
-    # the head axis): each slice's score tile is (hps*gq, bk), and the
-    # mask/position algebra — head-independent — is computed once and
-    # shared by every slice.
-    hps = heads_per_slice or n_kv_heads
     rows_s = hps * gq
 
     @pl.when(live)
@@ -137,75 +140,64 @@ def _chunk_kernel(
             ks_all = jnp.concatenate([r[:, 0] for r in ks_refs], axis=-1)
             vs_all = jnp.concatenate([r[:, 0] for r in vs_refs], axis=-1)
 
-        # Row r = (kv_head * group + g) * sq + t: chunk row index t and
-        # its global query position. Identical for every head slice.
+        # Row r = (slice_head * group + g) * sq + t: chunk row index t
+        # and its global query position. Head-independent.
         t_row = (
             jax.lax.broadcasted_iota(jnp.int32, (rows_s, bk), 0) % sq
         )
         qpos = first_qpos + t_row
         pos = jax.lax.broadcasted_iota(jnp.int32, (rows_s, bk), 1) + j * bk
         rel = (pos - qpos).astype(jnp.float32) if has_alibi else None
-        mask = (pos < length) & (pos <= qpos) & (t_row < chunk_len)
-        if window_left is not None:
-            mask = mask & (pos >= qpos - window_left)
+        # Shared visibility algebra (kernels/common.py) with the chunk's
+        # extra padding-row kill (t_row >= chunk_len rows see nothing).
+        mask = paged_visibility_mask(
+            pos, qpos, length=length, window_left=window_left,
+        ) & (t_row < chunk_len)
 
-        for h0 in range(0, n_kv_heads, hps):
-            hsl = slice(h0, h0 + hps)
-            rsl = slice(h0 * gq, (h0 + hps) * gq)
-            if qk_int8:
-                # int8 x int8 -> int32 QK^T on the MXU's 2x-rate int8
-                # mode: the cache payload is ALREADY int8 (its per-token
-                # scales are applied below via the existing `quantized`
-                # branch); q was quantized per token by the launcher.
-                q = q_ref[0, hsl]  # (hps, gq, d) int8
-                k = k_all[hsl]
-            else:
-                q = q_ref[0, hsl].astype(compute_dtype)  # (hps, gq, d)
-                k = k_all[hsl].astype(compute_dtype)  # (hps, bk, d)
-            # Batched over kv heads: (hps, gq, d) x (hps, bk, d) ->
-            # (hps, gq, bk) — every chunk row and group member in one dot.
-            s = jax.lax.dot_general(
-                q, k, (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=(
-                    jnp.int32 if qk_int8 else jnp.float32
-                ),
-            )
-            s = s.astype(jnp.float32) * jnp.float32(scale)
-            if qk_int8:
-                s = s * qscale_ref[0, hsl]  # (hps, gq, 1) broadcasts
-            if quantized:
-                s = s * ks_all[hsl].reshape(hps, 1, bk)
-            s = s.reshape(rows_s, bk)
-            if softcap is not None:
-                # Soft-capping before bias/mask (scores already scaled).
-                s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
-            if has_alibi:
-                # -slope * (q_pos - key_pos), per q head (replicated).
-                s = s + alibi_ref[rsl] * rel
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        if qk_int8:
+            # int8 x int8 -> int32 QK^T on the MXU's 2x-rate int8
+            # mode: the cache payload is ALREADY int8 (its per-token
+            # scales are applied below via the existing `quantized`
+            # branch); q was quantized per token by the launcher.
+            q = q_ref[0]  # (hps, gq, d) int8
+            k = k_all
+        else:
+            q = q_ref[0].astype(compute_dtype)  # (hps, gq, d)
+            k = k_all.astype(compute_dtype)  # (hps, bk, d)
+        # Batched over the slice's kv heads: (hps, gq, d) x (hps, bk, d)
+        # -> (hps, gq, bk) — every chunk row and group member in one dot.
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=(
+                jnp.int32 if qk_int8 else jnp.float32
+            ),
+        )
+        s = s.astype(jnp.float32) * jnp.float32(scale)
+        if qk_int8:
+            s = s * qscale_ref[0]  # (hps, gq, 1) broadcasts
+        if quantized:
+            s = s * ks_all.reshape(hps, 1, bk)
+        s = s.reshape(rows_s, bk)
+        # Shared softcap/alibi/mask/online-softmax (kernels/common.py).
+        p, alpha, m_next, l_next = paged_block_softmax(
+            s, mask, m_ref[...], l_ref[...], softcap=softcap,
+            alibi_col=alibi_ref[...] if has_alibi else None, rel=rel,
+        )
+        l_ref[...] = l_next
+        m_ref[...] = m_next
 
-            m_prev = m_ref[rsl]  # (rows_s, 1)
-            l_prev = l_ref[rsl]
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next)
-            p = jnp.where(mask, p, 0.0)
-            l_ref[rsl] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-            m_ref[rsl] = m_next
-
-            v = v_all[hsl].astype(compute_dtype)  # (hps, bk, d)
-            if quantized:
-                p = (
-                    p.reshape(hps, gq, bk)
-                    * vs_all[hsl].reshape(hps, 1, bk)
-                ).reshape(rows_s, bk)
-            pv = jax.lax.dot_general(
-                p.reshape(hps, gq, bk).astype(compute_dtype), v,
-                (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )  # (hps, gq, d)
-            acc_ref[rsl] = acc_ref[rsl] * alpha + pv.reshape(rows_s, -1)
+        v = v_all.astype(compute_dtype)  # (hps, bk, d)
+        if quantized:
+            p = (
+                p.reshape(hps, gq, bk)
+                * vs_all.reshape(hps, 1, bk)
+            ).reshape(rows_s, bk)
+        pv = jax.lax.dot_general(
+            p.reshape(hps, gq, bk).astype(compute_dtype), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (hps, gq, d)
+        acc_ref[...] = acc_ref[...] * alpha + pv.reshape(rows_s, -1)
 
     @pl.when(j == num_blocks - 1)
     def _finalize():
@@ -213,7 +205,7 @@ def _chunk_kernel(
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[0] = (
             (acc_ref[...] * l_inv)
-            .reshape(n_kv_heads, gq, -1)
+            .reshape(hps, gq, -1)
             .astype(o_ref.dtype)
         )
 
@@ -234,6 +226,7 @@ def paged_chunk_attention(
     alibi_slopes: jax.Array | None = None,
     softcap: float | None = None,
     qk_quant: str | None = None,
+    heads_per_slice: int | None = None,
 ) -> jax.Array:
     """Chunk-of-queries decode against a paged (optionally quantized) KV
     cache. Returns (batch, sq, n_q_heads, d).
@@ -321,21 +314,49 @@ def paged_chunk_attention(
     pages_max = page_table.shape[1]
     # Keep the score tile (rows x bk) modest: rows grows with the chunk.
     rows = n_kv_heads * group * sq_pad
-    ppb_cap = 8 if rows * 512 * 4 <= 4 * 1024 * 1024 else 4
-    pages_per_block = min(ppb_cap, pages_max)
-    # Scoped-VMEM bound: the kernel materializes a (hps*gq, bk) fp32
-    # score tile (plus exp/mask temporaries of the same shape) per head
-    # slice; cap a slice at ~2 MB so the ~4 live temporaries stay well
-    # under the 16 MB kernel stack (measured OOM at 12 heads x 512-token
-    # chunks when sliced per whole batch entry).
     gq_pad = group * sq_pad
-    bk_hint = pages_per_block * page_size
+    ppb_cap = 8 if gq_pad * 512 * 4 <= 2 * 1024 * 1024 else 4
+    pages_per_block = min(ppb_cap, pages_max)
+    # Scoped-VMEM bound: one grid step materializes a (hps*gq, bk) fp32
+    # score tile plus ~4 exp/mask temporaries of the same shape; cap a
+    # slice at ~2 MB so the stack stays well under the 16 MB limit. The
+    # head axis is a GRID dim — an in-kernel unrolled slice loop does
+    # NOT bound the stack (Mosaic keeps every unrolled slice's
+    # temporaries co-resident: measured 16.9 MB at 12x1-head slices).
     slice_budget = 2 * 1024 * 1024
-    heads_per_slice = 1
-    for cand in range(n_kv_heads, 0, -1):
-        if n_kv_heads % cand == 0 and cand * gq_pad * bk_hint * 4 <= slice_budget:
-            heads_per_slice = cand
-            break
+    if heads_per_slice is not None:
+        if heads_per_slice < 1 or n_kv_heads % heads_per_slice != 0:
+            raise ValueError(
+                f"heads_per_slice must divide n_kv_heads={n_kv_heads}; "
+                f"got {heads_per_slice}"
+            )
+    else:
+        heads_per_slice = 1
+        for cand in range(n_kv_heads, 0, -1):
+            bk_hint = pages_per_block * page_size
+            if (n_kv_heads % cand == 0
+                    and cand * gq_pad * bk_hint * 4 <= slice_budget):
+                heads_per_slice = cand
+                break
+        # Even a single head can blow the budget at large group*chunk
+        # (e.g. group=8, sq=512 -> 16 MB score tile at bk=1024): shrink
+        # the kv block instead of compiling toward a Mosaic VMEM OOM.
+        while (pages_per_block > 1
+               and gq_pad * pages_per_block * page_size * 4 > slice_budget):
+            pages_per_block //= 2
+        if gq_pad * pages_per_block * page_size * 4 > 4 * slice_budget:
+            # ~4 live (rows, bk) temporaries per slice; past this the
+            # kernel cannot fit the 16 MB VMEM stack at any tiling we
+            # can reach from here.
+            raise ValueError(
+                "chunk too large for the paged-attention kernel: one "
+                f"head slice needs {gq_pad * pages_per_block * page_size * 4} "
+                f"bytes of score tile (group={group}, chunk={sq}, "
+                f"page_size={page_size}); reduce the prefill chunk size "
+                "or the page size"
+            )
+    hps = heads_per_slice
+    n_slices = n_kv_heads // hps
     if pages_max % pages_per_block != 0:
         pad = pages_per_block - pages_max % pages_per_block
         page_table = jnp.pad(page_table, [(0, 0), (0, pad)])
@@ -343,7 +364,7 @@ def paged_chunk_attention(
     num_blocks = pages_max // pages_per_block
 
     def page_map_i(i):
-        def m(b_, j, tbl, ln, cl):
+        def m(b_, hs, j, tbl, ln, cl):
             # Dead trailing blocks redirect the fetch to the last live
             # block (reads only; adjacent equal indices elide the DMA).
             last_live = jnp.maximum(ln[b_] - 1, 0) // (
@@ -357,19 +378,19 @@ def paged_chunk_attention(
                     ln[b_] - cl[b_] - window_left, 0
                 ) // (pages_per_block * page_size)
                 jj = jnp.maximum(jj, jnp.minimum(lo_blk, last_live))
-            return (0, tbl[b_, jj * pages_per_block + i], 0, 0)
+            return (hs, tbl[b_, jj * pages_per_block + i], 0, 0)
         return m
 
     page_specs = [
         pl.BlockSpec(
-            (n_kv_heads, 1, page_size, d), page_map_i(i),
+            (hps, 1, page_size, d), page_map_i(i),
             memory_space=pltpu.VMEM,
         )
         for i in range(pages_per_block)
     ]
     scale_specs = [
         pl.BlockSpec(
-            (n_kv_heads, 1, 1, page_size), page_map_i(i),
+            (hps, 1, 1, page_size), page_map_i(i),
             memory_space=pltpu.VMEM,
         )
         for i in range(pages_per_block)
@@ -378,16 +399,16 @@ def paged_chunk_attention(
     gq = group * sq_pad
     in_specs = [
         pl.BlockSpec(
-            (1, n_kv_heads, gq, d),
-            lambda b_, j, tbl, ln, cl: (b_, 0, 0, 0),
+            (1, hps, gq, d),
+            lambda b_, hs, j, tbl, ln, cl: (b_, hs, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
     args = [q4]
     if qk_int8:
         in_specs.append(pl.BlockSpec(
-            (1, n_kv_heads, gq, 1),
-            lambda b_, j, tbl, ln, cl: (b_, 0, 0, 0),
+            (1, hps, gq, 1),
+            lambda b_, hs, j, tbl, ln, cl: (b_, hs, 0, 0),
             memory_space=pltpu.VMEM,
         ))
         args.append(q_qscale)
@@ -395,7 +416,7 @@ def paged_chunk_attention(
         # Per-row slopes: row (kvh*group + g)*sq_pad + t -> q head
         # kvh*group + g, i.e. each head's slope replicated sq_pad times.
         in_specs.append(pl.BlockSpec(
-            (rows, 1), lambda b_, j, tbl, ln, cl: (0, 0),
+            (hps * gq, 1), lambda b_, hs, j, tbl, ln, cl: (hs, 0),
             memory_space=pltpu.VMEM,
         ))
         args.append(jnp.repeat(alibi, sq_pad).reshape(rows, 1))
@@ -432,24 +453,26 @@ def paged_chunk_attention(
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(batch, num_blocks),
+            grid=(batch, n_slices, num_blocks),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, n_kv_heads, gq, d),
-                lambda b_, j, tbl, ln, cl: (b_, 0, 0, 0),
+                (1, hps, gq, d),
+                lambda b_, hs, j, tbl, ln, cl: (b_, hs, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((rows, 1), jnp.float32),  # m
-                pltpu.VMEM((rows, 1), jnp.float32),  # l
-                pltpu.VMEM((rows, d), jnp.float32),  # acc
+                # Per-slice carries, reused across the sequential
+                # (b, hs) grid steps (re-inited at every j == 0).
+                pltpu.VMEM((hps * gq, 1), jnp.float32),  # m
+                pltpu.VMEM((hps * gq, 1), jnp.float32),  # l
+                pltpu.VMEM((hps * gq, d), jnp.float32),  # acc
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(
             (batch, n_kv_heads, gq, d), q.dtype
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(

@@ -140,3 +140,70 @@ def classify_segment_block(qp_vec, kp_vec, qs_vec, ks_vec, *, causal,
             jnp.max(kp_vec) <= jnp.min(qp_vec) + window_right
         )
     return live, uniform
+
+
+def paged_block_live(j, bk, *, length, window_left, first_band_pos,
+                     num_sinks: int = 0):
+    """Liveness of kv block ``j`` (width ``bk``) for the paged serving
+    kernels: some key column must be in-sequence and either inside the
+    visible band or a StreamingLLM sink. ``first_band_pos`` is the
+    LOOSEST band floor across the query rows this launch serves —
+    ``length - 1 - window_left`` for single-token decode, the FIRST
+    chunk row's ``qpos - window_left`` for multi-token chunks (using a
+    tighter row's floor skips blocks earlier rows still need — the
+    exact bug class of `09ce7a7`). Shared by _decode_kernel,
+    _decode_dma_kernel and _chunk_kernel so the algebra cannot diverge.
+    """
+    live = j * bk < length
+    if window_left is not None:
+        band_or_sink = (j + 1) * bk > first_band_pos
+        if num_sinks > 0:
+            band_or_sink = band_or_sink | (j * bk < num_sinks)
+        live = live & band_or_sink
+    return live
+
+
+def paged_visibility_mask(kpos, qpos, *, length, window_left,
+                          num_sinks: int = 0):
+    """(rows, bk) True = key visible: in-sequence, causal vs the row's
+    query position, and (with a window) inside the band or a sink.
+    ``qpos`` may be a scalar (decode: length - 1) or a per-row column
+    (chunk: first_qpos + t_row). Shared across the paged kernels."""
+    mask = (kpos < length) & (kpos <= qpos)
+    if window_left is not None:
+        visible = kpos >= qpos - window_left
+        if num_sinks > 0:
+            visible = visible | (kpos < num_sinks)
+        mask = mask & visible
+    return mask
+
+
+def paged_block_softmax(s, mask, m_prev, l_prev, *, softcap=None,
+                        alibi_col=None, rel=None):
+    """Shared per-block masked online-softmax update for the paged
+    serving kernels (decode BlockSpec path, decode DMA path, chunk).
+
+    ``s``: (rows, bk) fp32 scores with softmax_scale AND any dequant
+    column scales already applied. Order of operations (must match
+    ops.attention training semantics): softcap on the scaled scores,
+    then the ALiBi bias ``alibi_col * rel`` (rel = kpos - qpos), then
+    masking. ``m_prev``/``l_prev`` are (rows, L) running stats (L = 1
+    or NUM_LANES — the update broadcasts along L).
+
+    Returns ``(p, alpha, m_next, l_next)``; the caller stores the stats
+    and applies ``alpha`` to its accumulator (decode uses
+    ``alpha[:, 0:1]`` with lane-replicated stats; chunk uses column
+    stats directly).
+    """
+    if softcap is not None:
+        s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
+    if alibi_col is not None:
+        s = s + alibi_col * rel
+    s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+    m_curr = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next[:, 0:1])
+    p = jnp.where(mask, p, 0.0)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    return p, alpha, m_next, l_next

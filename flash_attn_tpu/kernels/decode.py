@@ -40,6 +40,9 @@ from flash_attn_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     NUM_LANES,
     default_interpret,
+    paged_block_live,
+    paged_block_softmax,
+    paged_visibility_mask,
 )
 
 
@@ -87,15 +90,13 @@ def _decode_kernel(
     # Sliding window (rolling-KV decode): the single query sits at
     # position length-1, so visible keys are pos >= length-1-window_left,
     # plus the first num_sinks positions (StreamingLLM attention sinks).
-    # Blocks entirely outside both regions are skipped.
-    live = j * bk < length
-    win_lo = None
-    if window_left is not None:
-        win_lo = length - 1 - window_left  # first visible band position
-        band_or_sink = (j + 1) * bk > win_lo
-        if num_sinks > 0:
-            band_or_sink = band_or_sink | (j * bk < num_sinks)
-        live = live & band_or_sink
+    # Blocks entirely outside both regions are skipped (shared liveness
+    # algebra: kernels/common.py paged_block_live).
+    live = paged_block_live(
+        j, bk, length=length, window_left=window_left,
+        first_band_pos=length - 1 - (window_left or 0),
+        num_sinks=num_sinks,
+    )
 
     @pl.when(j == 0)
     def _init():
@@ -122,34 +123,23 @@ def _decode_kernel(
             ks = jnp.concatenate([r[:, 0] for r in ks_refs], axis=-1)
             s = s * ks.reshape(n_kv_heads, 1, bk)  # broadcasts over group
         s = s.reshape(hg, bk)
-        if softcap is not None:
-            # Logit soft-capping (scores here are already
-            # scale-multiplied): cap * tanh(s / cap), before bias/mask.
-            s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
+        # Shared per-block mask/softcap/alibi/online-softmax algebra
+        # (kernels/common.py): the single query sits at position
+        # length-1, so qpos is scalar; rel = kpos - qpos feeds ALiBi.
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
         )
-        if has_alibi:
-            # The single query sits at position length-1; scores here are
-            # already scale-multiplied, so the bias adds directly:
-            # -slope * (q_pos - key_pos).
-            s = s + alibi_ref[...] * (pos - (length - 1)).astype(jnp.float32)
-        mask = pos < length
-        if window_left is not None:
-            visible = pos >= win_lo
-            if num_sinks > 0:
-                visible = visible | (pos < num_sinks)
-            mask = mask & visible
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-        m_prev = m_ref[...]  # (hg, NUM_LANES)
-        l_prev = l_ref[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, 0:1])
-        p = jnp.where(mask, p, 0.0)
-        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        mask = paged_visibility_mask(
+            pos, length - 1, length=length, window_left=window_left,
+            num_sinks=num_sinks,
+        )
+        p, alpha, m_next, l_next = paged_block_softmax(
+            s, mask, m_ref[...], l_ref[...], softcap=softcap,
+            alibi_col=alibi_ref[...] if has_alibi else None,
+            rel=(pos - (length - 1)).astype(jnp.float32)
+            if has_alibi else None,
+        )
+        l_ref[...] = l_next
         m_ref[...] = m_next
 
         v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1).astype(
@@ -230,16 +220,16 @@ def _decode_dma_kernel(
     # Buffer slots alternate on the LIVE-block ordinal, not on j — the j
     # parity would collide across the sink->band jump when both ends land
     # on the same parity, clobbering the buffer compute is reading.
-    live = j * bk < length
     win_lo = None
     jlo = jnp.int32(0)
     sink_blocks = -(-num_sinks // bk) if num_sinks > 0 else 0  # static
+    live = paged_block_live(
+        j, bk, length=length, window_left=window_left,
+        first_band_pos=length - 1 - (window_left or 0),
+        num_sinks=num_sinks,
+    )
     if window_left is not None:
         win_lo = length - 1 - window_left
-        band_or_sink = (j + 1) * bk > win_lo
-        if sink_blocks > 0:
-            band_or_sink = band_or_sink | (j < sink_blocks)
-        live = live & band_or_sink
         jlo = jnp.maximum(win_lo, 0) // bk
 
     def live_ordinal(blk):
@@ -326,29 +316,19 @@ def _decode_dma_kernel(
         if quantized:
             s = s * ksbuf[slot]  # (h, 1, bk) broadcasts over group
         s = s.reshape(hg, bk)
-        if softcap is not None:
-            # Soft-capping before bias/mask (scores already scaled).
-            s = jnp.float32(softcap) * jnp.tanh(s / jnp.float32(softcap))
+        # Shared mask/softcap/alibi/online-softmax (kernels/common.py).
         pos = jax.lax.broadcasted_iota(jnp.int32, (hg, bk), 1) + j * bk
-        if has_alibi:
-            # Scores are scale-multiplied already; add -slope*(qpos-kpos).
-            s = s + alibi_ref[...] * (pos - (length - 1)).astype(jnp.float32)
-        mask = pos < length
-        if window_left is not None:
-            visible = pos >= win_lo
-            if num_sinks > 0:
-                visible = visible | (pos < num_sinks)
-            mask = mask & visible
-        s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-
-        m_prev = m_ref[...]
-        l_prev = l_ref[...]
-        m_curr = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, 0:1])
-        p = jnp.where(mask, p, 0.0)
-        l_ref[...] = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        mask = paged_visibility_mask(
+            pos, length - 1, length=length, window_left=window_left,
+            num_sinks=num_sinks,
+        )
+        p, alpha, m_next, l_next = paged_block_softmax(
+            s, mask, m_ref[...], l_ref[...], softcap=softcap,
+            alibi_col=alibi_ref[...] if has_alibi else None,
+            rel=(pos - (length - 1)).astype(jnp.float32)
+            if has_alibi else None,
+        )
+        l_ref[...] = l_next
         m_ref[...] = m_next
 
         v = vbuf[slot].astype(jnp.bfloat16)  # (h, bk, d)

@@ -138,7 +138,7 @@ def _fused_kernel(
         seed_ref = refs[idx]
         idx += 1
     if has_alibi:
-        alibi_ref = refs[idx]  # (1, 1) SMEM: this head's slope / scale
+        alibi_ref = refs[idx]  # (b, h) SMEM slope table (pre /scale)
         idx += 1
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[idx : idx + 6]
     idx += 6
@@ -156,6 +156,10 @@ def _fused_kernel(
     ik = pl.program_id(2)
     iq = pl.program_id(3)
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
+    if has_alibi:
+        # Read at kernel top level (the CPU interpreter does not
+        # substitute program_id inside pl.when branches / closures).
+        alibi_slope = alibi_ref[pl.program_id(0), pl.program_id(1)]
     bounds_possible = sk != sk_pad
     bqs = block_q // chains
 
@@ -219,7 +223,7 @@ def _fused_kernel(
                 # vectors with segments) so the recomputed p matches
                 # exactly. The bias is independent of q/k, so every
                 # gradient formula below is unchanged.
-                slope = alibi_ref[0, 0]
+                slope = alibi_slope
                 if has_segments:
                     qp_a = qpos_ref[0][sl][:, None]
                     kp_a = kpos_ref[0][None, :]
@@ -496,10 +500,11 @@ def flash_attention_bwd(
         seed_args = [dropout_seed.reshape(1, 1).astype(jnp.uint32)]
     has_alibi = alibi is not None
     if has_alibi:
+        # Whole (b, h) slope table in SMEM (see flash_fwd.py: a (1, 1)
+        # block over (b, h) fails Mosaic's block-shape check on hardware).
         seed_specs = seed_specs + [
             pl.BlockSpec(
-                (1, 1), lambda b_, h_, *rest: (b_, h_),
-                memory_space=pltpu.SMEM,
+                alibi.shape, lambda *_: (0, 0), memory_space=pltpu.SMEM
             )
         ]
         seed_args = seed_args + [alibi.astype(jnp.float32)]

@@ -128,7 +128,7 @@ def _fwd_kernel(
         seed_ref = refs[idx]
         idx += 1
     if has_alibi:
-        alibi_ref = refs[idx]  # (1, 1) SMEM: this head's slope / scale
+        alibi_ref = refs[idx]  # (b, h) SMEM slope table (pre /scale)
         idx += 1
     q_ref, k_ref, v_ref = refs[idx : idx + 3]
     idx += 3
@@ -174,6 +174,10 @@ def _fwd_kernel(
     # program_id must be read at kernel top level (the CPU interpreter does
     # not substitute it inside pl.when branches).
     bh = pl.program_id(0) * num_heads + pl.program_id(1)
+    if has_alibi:
+        # This (batch, head)'s slope from the whole-table SMEM block —
+        # read here, not in the masking closure, for the same reason.
+        alibi_slope = alibi_ref[pl.program_id(0), pl.program_id(1)]
 
     # Which mask components can this launch ever need? (static)
     bounds_possible = sk != sk_pad  # padded key columns at the last k block
@@ -257,7 +261,7 @@ def _fwd_kernel(
                 # sq != sk); with segments the caller-supplied positions
                 # are compared directly, so ALiBi is exact across ring
                 # shards and under custom alignments via positions.
-                slope = alibi_ref[0, 0]
+                slope = alibi_slope
                 if has_segments:
                     qp_a = qpos_ref[0][rows_sl][:, None]
                     kp_a = kpos_ref[0][None, :]
@@ -762,10 +766,13 @@ def flash_attention_fwd(
         args.append(dropout_seed.reshape(1, 1).astype(jnp.uint32))
     has_alibi = alibi is not None
     if has_alibi:
+        # Whole (b, h) slope table in SMEM, indexed by program ids inside
+        # the kernel: a (1, 1) block over a (b, h) array fails Mosaic's
+        # block-shape check on hardware (interpret mode accepts it —
+        # caught by the round-4 on-device determinism run).
         in_specs.append(
             pl.BlockSpec(
-                (1, 1), lambda b_, h_, *rest: (b_, h_),
-                memory_space=pltpu.SMEM,
+                alibi.shape, lambda *_: (0, 0), memory_space=pltpu.SMEM
             )
         )
         args.append(alibi.astype(jnp.float32))

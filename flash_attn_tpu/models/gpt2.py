@@ -57,6 +57,11 @@ class GPT2Config:
     # and prefill keep the pure band mask, so outputs intentionally
     # diverge from teacher forcing when nonzero.
     window_sinks: int = 0
+    # Per-block rematerialization (jax.checkpoint): trade ~1/3 extra
+    # fwd flops for O(n_layer) -> O(1) saved block activations. Required
+    # for long-context training on one chip (b=8 x S=4K blows HBM with
+    # all 12 layers' attention temporaries live through the backward).
+    remat: bool = False
 
     @classmethod
     def small(cls, **kw):
@@ -185,9 +190,14 @@ class GPT2LMHeadModel(nn.Module):
         x = x.astype(cfg.dtype)
         if cfg.dropout > 0.0:
             x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+        block_cls = Block
+        if cfg.remat:
+            # Recompute each block in the backward instead of saving its
+            # activations (deterministic is static arg 2; arg 0 = module).
+            block_cls = nn.remat(Block, static_argnums=(2,))
         for i in range(cfg.n_layer):
-            x = Block(cfg, attn_impl=self.attn_impl, name=f"h_{i}")(
-                x, deterministic=deterministic
+            x = block_cls(cfg, attn_impl=self.attn_impl, name=f"h_{i}")(
+                x, deterministic
             )
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_epsilon, dtype=cfg.dtype, name="ln_f"

@@ -102,7 +102,14 @@ def attention_ref(
     if upcast:
         q, k, v = q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
     sq, sk = q.shape[-2], k.shape[-2]
-    scores = jnp.einsum("...qd,...kd->...qk", q, k).astype(jnp.float32)
+    # On TPU, fp32 einsums run at DEFAULT MXU precision (bf16 passes)
+    # unless told otherwise — without HIGHEST the "fp32 oracle" and the
+    # native-bf16 baseline coincide and the dual-reference bound
+    # degenerates to 2x0 (caught by the round-4 on-device spotcheck).
+    prec = jax.lax.Precision.HIGHEST if upcast else None
+    scores = jnp.einsum(
+        "...qd,...kd->...qk", q, k, precision=prec
+    ).astype(jnp.float32)
     scores = scores * jnp.float32(softmax_scale)
     if softcap is not None:
         # Logit soft-capping (Gemma-2 style): cap * tanh(s / cap), applied
@@ -131,7 +138,7 @@ def attention_ref(
     if not upcast:
         probs = probs.astype(orig_dtype)
         v = v.astype(orig_dtype)
-    out = jnp.einsum("...qk,...kd->...qd", probs, v)
+    out = jnp.einsum("...qk,...kd->...qd", probs, v, precision=prec)
     out = out.astype(orig_dtype)
     if return_attn_probs:
         return out, probs_pre_drop
@@ -158,6 +165,7 @@ def attention_lse_ref(
         "...qd,...kd->...qk",
         q.astype(jnp.float32),
         k.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     ) * jnp.float32(softmax_scale)
     sq, sk = q.shape[-2], k.shape[-2]
     full_mask = None

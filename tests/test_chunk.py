@@ -482,3 +482,74 @@ def test_flash_attn_with_kvcache_no_append():
             np.asarray(out[0, :, h]), np.asarray(ref[0, 0]),
             atol=2e-5, rtol=1e-4,
         )
+
+
+def test_chunk_forced_head_slicing():
+    """heads_per_slice < n_kv_heads: the sliced rsl/row-offset algebra,
+    sliced alibi/qscale/ks indexing, and per-slice online-softmax updates
+    never trigger at CI shapes via the auto-picker (every config fits one
+    slice under the 2 MB budget) — force slicing and check (a) bitwise
+    parity vs the unsliced kernel and (b) the dense oracle. Covers both
+    the fp32 feature path (window+alibi+softcap+GQA) and the int8-QK
+    quantized-cache path (qscale/ks slices)."""
+    from flash_attn_tpu.ops.attention import alibi_slopes
+
+    rng = np.random.default_rng(21)
+    n_kv, d, page_size, num_pages, pages_per_seq = 2, 64, 128, 16, 4
+    group, sq, win, cap = 2, 16, 150, 12.0
+    lengths = [100, 512, 300]
+    batch, n_q = len(lengths), n_kv * group
+    slopes = alibi_slopes(n_q)
+    q = jnp.asarray(
+        rng.standard_normal((batch, sq, n_q, d)) * 2.0, jnp.float32
+    )
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, batch, lengths, pages_per_seq
+    )
+    lens = jnp.asarray(lengths, jnp.int32)
+    kw = dict(window_left=win, softcap=cap, alibi_slopes=slopes)
+    base = paged_chunk_attention(q, k_pages, v_pages, lens, table, **kw)
+    sliced = paged_chunk_attention(
+        q, k_pages, v_pages, lens, table, heads_per_slice=1, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(sliced), np.asarray(base), atol=1e-6, rtol=1e-6
+    )
+    for b, ln in enumerate(lengths):
+        t = jnp.arange(sq)[:, None]
+        j = jnp.arange(ln)[None, :]
+        qpos = ln - sq + t
+        mask = (j <= qpos) & (j >= qpos - win)
+        for hqi in range(n_q):
+            bias = (
+                float(slopes[hqi]) * (j - qpos).astype(jnp.float32)
+            )[None, None]
+            ref = attention_ref(
+                q[b, :, hqi][None, None],
+                dense_k[b][hqi // group][None, None, :ln],
+                dense_v[b][hqi // group][None, None, :ln],
+                mask=mask[None, None], softcap=cap, bias=bias,
+            )
+            np.testing.assert_allclose(
+                np.asarray(sliced[b, :, hqi]), np.asarray(ref[0, 0]),
+                atol=2e-5, rtol=1e-4, err_msg=f"b={b} h={hqi}",
+            )
+
+    # int8-QK path: forced slicing must also slice qscale/ks correctly.
+    kq, ksc = qz.quantize_pages(k_pages, "int8")
+    vq, vsc = qz.quantize_pages(v_pages, "int8")
+    base8 = paged_chunk_attention(
+        q, kq, vq, lens, table, ksc, vsc, qk_quant="int8"
+    )
+    sliced8 = paged_chunk_attention(
+        q, kq, vq, lens, table, ksc, vsc, qk_quant="int8",
+        heads_per_slice=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sliced8), np.asarray(base8), atol=1e-6, rtol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="heads_per_slice"):
+        paged_chunk_attention(
+            q, k_pages, v_pages, lens, table, heads_per_slice=3
+        )

@@ -90,3 +90,36 @@ def test_sharded_model_window_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
     )
+
+
+def test_remat_matches_no_remat():
+    """cfg.remat is a pure memory/flops trade: same params, same logits,
+    and a train-step gradient identical up to fp tolerance."""
+    import dataclasses
+
+    cfg = _tiny()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 128)), jnp.int32)
+    base, rem = GPT2LMHeadModel(cfg), GPT2LMHeadModel(cfg_r)
+    params = base.init(jax.random.PRNGKey(0), ids)
+    assert jax.tree.structure(params) == jax.tree.structure(
+        rem.init(jax.random.PRNGKey(0), ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rem.apply(params, ids)),
+        np.asarray(base.apply(params, ids)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+    def loss_fn(model):
+        def f(p):
+            return cross_entropy_loss(model.apply(p, ids), ids)
+        return f
+
+    g0 = jax.grad(loss_fn(base))(params)
+    g1 = jax.grad(loss_fn(rem))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
