@@ -186,8 +186,15 @@ def main():
             return jax.lax.fori_loop(0, n, body, (caches, lengths, tokens))
 
         tokens = jnp.zeros((b,), jnp.int32)
-        caches, lengths, tokens = run_steps(params, caches, lengths, tokens, 2)
-        np.asarray(tokens)  # warm/compile
+        # Warm with the SAME static step count: n is a static argnum, so a
+        # different n is a different program — warming with n=2 and timing
+        # n=steps would fold the 128-iteration loop's XLA+Mosaic compile
+        # (~10 s) into the measurement (this inflated round-3's decode
+        # rows ~25x and made fp8 look 3.6x slower than int8).
+        caches, lengths, tokens = run_steps(
+            params, caches, lengths, tokens, args.steps
+        )
+        np.asarray(tokens)  # warm/compile at the timed shape
         t0 = time.perf_counter()
         caches, lengths, tokens = run_steps(
             params, caches, lengths, tokens, args.steps
@@ -230,6 +237,15 @@ def write_md(cfg, args, r):
         "",
         "FP8-KV quality bar: perplexity delta vs bf16 = 0.0005 on a "
         "trained GPT-2 (FP8_PPL.md; bar <= 0.05).",
+        "",
+        "v5e has no hardware fp8 datapath: fp8 pages dequantize via an "
+        "integer shift-add bit decode in-kernel (kernels/common.py "
+        "dequant_cast — Mosaic's own fp8 cast is ~6-10x slower, "
+        "benchmarks/probe_fp8cast*.py), which is why fp8 lands between "
+        "bf16 (2x the bytes) and int8 (native convert) here. Both "
+        "quantized caches halve HBM and double the max-context budget; "
+        "int8 is the throughput pick on v5e, fp8 the accuracy-"
+        "conservative one.",
         "",
         "## Time to first token",
         "",

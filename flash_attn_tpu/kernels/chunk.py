@@ -50,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from flash_attn_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     default_interpret,
+    dequant_cast,
     paged_block_live,
     paged_block_softmax,
     paged_visibility_mask,
@@ -163,7 +164,7 @@ def _chunk_kernel(
             k = k_all
         else:
             q = q_ref[0].astype(compute_dtype)  # (hps, gq, d)
-            k = k_all.astype(compute_dtype)  # (hps, bk, d)
+            k = dequant_cast(k_all, compute_dtype)  # (hps, bk, d)
         # Batched over the slice's kv heads: (hps, gq, d) x (hps, bk, d)
         # -> (hps, gq, bk) — every chunk row and group member in one dot.
         s = jax.lax.dot_general(
@@ -186,7 +187,7 @@ def _chunk_kernel(
         l_ref[...] = l_next
         m_ref[...] = m_next
 
-        v = v_all.astype(compute_dtype)  # (hps, bk, d)
+        v = dequant_cast(v_all, compute_dtype)  # (hps, bk, d)
         if quantized:
             p = (
                 p.reshape(hps, gq, bk)

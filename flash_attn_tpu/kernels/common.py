@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
 
 
 def default_interpret() -> bool:
@@ -12,6 +13,52 @@ def default_interpret() -> bool:
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NUM_LANES = 128
+
+_FP8_FORMATS = {
+    jnp.dtype(jnp.float8_e4m3fn): (3, 7),  # (mantissa bits, exp bias)
+    jnp.dtype(jnp.float8_e5m2): (2, 15),
+}
+
+
+def dequant_cast(x, dtype=jnp.bfloat16):
+    """Cast a KV payload tile to a compute dtype, fast under Mosaic.
+
+    Mosaic lowers fp8->bf16 ``astype`` through a slow elementwise path
+    (measured ~29 us per (16,1024,128) tile vs ~0 for int8->bf16 —
+    benchmarks/probe_fp8cast.py); an integer shift-add decode of the
+    e4m3fn/e5m2 bit pattern via ``pltpu.bitcast`` is ~6x faster and
+    bit-exact vs XLA's own cast:
+
+      normal (e>0):    bf16_bits = sign<<15 | (mag << (7-M)) + ((127-B)<<7)
+      denormal (e==0): value = sign * m * 2^(1 - B - M)
+
+    where mag = the 7 magnitude bits, M = mantissa bits, B = exp bias.
+    e4m3fn has no inf; e5m2 inf/NaN decode to large finite values — a KV
+    cache never stores either. Non-fp8 dtypes take the native ``astype``.
+    """
+    fmt = _FP8_FORMATS.get(jnp.dtype(x.dtype))
+    if fmt is None:
+        return x if x.dtype == dtype else x.astype(dtype)
+    mbits, bias = fmt
+    u = pltpu.bitcast(x, jnp.uint8).astype(jnp.int32)
+    mag = u & 0x7F
+    sign = (u >> 7) & 1
+    if dtype == jnp.float32:
+        # Decode straight into f32 bits: no 16-bit intermediates at all —
+        # measured FREE (hidden behind the dots) vs 0.95 us/tile for the
+        # bf16-intermediate route (benchmarks/probe_fp8cast2.py).
+        bits = (sign << 31) | ((mag << (23 - mbits)) + ((127 - bias) << 23))
+        norm = pltpu.bitcast(bits, jnp.float32)
+    else:
+        bits = (sign << 15) | ((mag << (7 - mbits)) + ((127 - bias) << 7))
+        norm = pltpu.bitcast(bits.astype(jnp.uint16), jnp.bfloat16)
+    denorm = (
+        mag.astype(jnp.float32)
+        * jnp.where(sign == 1, -1.0, 1.0)
+        * jnp.float32(2.0 ** (1 - bias - mbits))
+    ).astype(norm.dtype)
+    out = jnp.where(mag < (1 << mbits), denorm, norm)
+    return out if out.dtype == dtype else out.astype(dtype)
 
 
 def block_coords(block_q: int, block_k: int, iq, ik):

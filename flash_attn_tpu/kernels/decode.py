@@ -40,6 +40,7 @@ from flash_attn_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     NUM_LANES,
     default_interpret,
+    dequant_cast,
     paged_block_live,
     paged_block_softmax,
     paged_visibility_mask,
@@ -109,9 +110,10 @@ def _decode_kernel(
         q = q_ref[0].astype(jnp.float32)  # (h, group, d)
         # Concatenate the ppb pages into one (h, bk, d) tile: a single wide
         # dot instead of ppb narrow ones (long contexts are otherwise
-        # grid-step-overhead-bound at one page per step).
-        k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1).astype(
-            jnp.float32
+        # grid-step-overhead-bound at one page per step). fp8 payloads
+        # decode via the integer fast path (common.dequant_cast).
+        k = dequant_cast(
+            jnp.concatenate([r[:, 0] for r in k_refs], axis=1), jnp.float32
         )
         # Batched over kv heads: (h, g, d) x (h, bk, d) -> (h, g, bk).
         s = jax.lax.dot_general(
@@ -142,8 +144,8 @@ def _decode_kernel(
         l_ref[...] = l_next
         m_ref[...] = m_next
 
-        v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1).astype(
-            jnp.float32
+        v = dequant_cast(
+            jnp.concatenate([r[:, 0] for r in v_refs], axis=1), jnp.float32
         )  # (h, bk, d)
         if quantized:
             # fold v row scales into p: (h, 1, bk) over (h, g, bk)
@@ -308,7 +310,7 @@ def _decode_dma_kernel(
         # Dequant/compute in bf16 (payloads are <= 8 bits of mantissa
         # anyway); accumulation stays fp32 via preferred_element_type.
         q = q_ref[0].astype(jnp.bfloat16)  # (h, group, d)
-        k = kbuf[slot].astype(jnp.bfloat16)  # (h, bk, d)
+        k = dequant_cast(kbuf[slot])  # (h, bk, d) bf16
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -331,7 +333,7 @@ def _decode_dma_kernel(
         l_ref[...] = l_next
         m_ref[...] = m_next
 
-        v = vbuf[slot].astype(jnp.bfloat16)  # (h, bk, d)
+        v = dequant_cast(vbuf[slot])  # (h, bk, d) bf16
         if quantized:
             p = (
                 p.reshape(n_kv_heads, group, bk) * vsbuf[slot]
