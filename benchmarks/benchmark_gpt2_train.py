@@ -25,10 +25,11 @@ import optax
 from flash_attn_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel, make_train_step
 
 
-def run_config(b, s, layers=12, steps=20, dropout=0.1, remat=False):
+def run_config(b, s, layers=12, steps=20, dropout=0.1, remat=False,
+               n_head=12):
     """One measured train-step config. Returns a result dict."""
     cfg = GPT2Config(
-        vocab_size=50257, n_layer=layers, n_head=12, n_embd=768,
+        vocab_size=50257, n_layer=layers, n_head=n_head, n_embd=768,
         max_position_embeddings=max(1024, s), dropout=dropout,
         dtype=jnp.bfloat16, remat=remat,
     )
@@ -40,7 +41,15 @@ def run_config(b, s, layers=12, steps=20, dropout=0.1, remat=False):
     n_params = sum(x.size for x in jax.tree.leaves(params))
     optimizer = optax.adamw(1e-4)
     opt_state = optimizer.init(params)
-    step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0, 1))
+    # Beyond ~8K tokens the materialized (b, s, vocab) fp32 logits + their
+    # log_softmax bwd temp dominate the step's HBM (9.2 GiB at b=8/S=4K,
+    # an OOM on a 16 GiB chip): stream the LM head + CE over 1K-token
+    # chunks instead (models/gpt2.py chunked_lm_loss).
+    lm_chunk = 1024 if b * s > 8192 else None
+    step = jax.jit(
+        make_train_step(model, optimizer, lm_loss_chunk=lm_chunk),
+        donate_argnums=(0, 1),
+    )
 
     params, opt_state, loss = step(
         params, opt_state, batch, jax.random.PRNGKey(1)
@@ -56,11 +65,17 @@ def run_config(b, s, layers=12, steps=20, dropout=0.1, remat=False):
     toks = b * s
     # 6*N*T matmul flops + attention 12*L*b*h*s^2*hd flops, causal x0.5,
     # fwd+bwd = 3.5x fwd (2 fwd dots, 5 bwd dots) per the kernel schedule.
-    attn_flops = 3.5 * 4 * layers * b * cfg.n_head * s * s * 64 * 0.5
+    hd = 768 // cfg.n_head
+    attn_flops = 3.5 * 4 * layers * b * cfg.n_head * s * s * hd * 0.5
     flops = 6 * n_params * toks + attn_flops
+    # Hardware flops: head_dim pads to the 128-lane MXU width, so at
+    # hd=64 the attention kernel moves 2x the model's attention flops —
+    # intrinsic to ANY TPU kernel (the QK contraction runs over lanes).
+    hw_flops = flops + attn_flops * (max(128, hd) / hd - 1)
     return dict(
-        b=b, s=s, ms=dt * 1e3, tok_s=toks / dt,
+        b=b, s=s, h=cfg.n_head, hd=hd, ms=dt * 1e3, tok_s=toks / dt,
         mfu=flops / dt / 197e12 * 100,
+        hw_mfu=hw_flops / dt / 197e12 * 100,
         attn_frac=attn_flops / flops * 100,
         loss=loss, loss0=loss0, n_params=n_params,
     )
@@ -89,20 +104,25 @@ def main():
     # batch scaled down as S grows; plus a same-batch 4K row to separate
     # the batch effect from the seqlen effect.
     rows = []
-    for b, s, remat in (
-        (8, 1024, False),
-        (2, 4096, False),
-        (8, 4096, True),   # 12 layers' live activations blow HBM w/o remat
-        (1, 8192, True),
-        (4, 8192, True),
+    for b, s, remat, n_head in (
+        (8, 1024, False, 12),
+        (2, 4096, False, 12),
+        (8, 4096, True, 12),  # 12 layers' live activations blow HBM w/o remat
+        (1, 8192, True, 12),
+        (4, 8192, True, 12),
+        # Same params/budget but head_dim=128 (6 heads): the model maps
+        # natively to the 128-lane MXU, no attention padding waste.
+        (8, 4096, True, 6),
+        (4, 8192, True, 6),
     ):
-        r = run_config(b, s, args.layers, args.steps, remat=remat)
+        r = run_config(b, s, args.layers, args.steps, remat=remat,
+                       n_head=n_head)
         r["remat"] = remat
         rows.append(r)
         print(
-            f"b={b} S={s} remat={remat}: {r['ms']:.1f} ms, "
-            f"{r['tok_s']:,.0f} tok/s, MFU {r['mfu']:.1f}%, "
-            f"attn {r['attn_frac']:.0f}% of flops",
+            f"b={b} S={s} h={n_head} remat={remat}: {r['ms']:.1f} ms, "
+            f"{r['tok_s']:,.0f} tok/s, MFU {r['mfu']:.1f}% "
+            f"(hw {r['hw_mfu']:.1f}%), attn {r['attn_frac']:.0f}% of flops",
             flush=True,
         )
     lines = [
@@ -112,15 +132,27 @@ def main():
         "v5e chip. `attn %` = share of step FLOPs inside the flash "
         "attention kernels (causal, fwd 2 dots + bwd 5 dots).",
         "",
-        "| batch | seqlen | remat | ms/step | tokens/s | MFU | attn % of flops |",
-        "|---|---|---|---|---|---|---|",
+        "| batch | seqlen | heads x hd | remat | ms/step | tokens/s | MFU "
+        "| hw MFU | attn % of flops |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         lines.append(
-            f"| {r['b']} | {r['s']} | {'yes' if r['remat'] else 'no'} "
+            f"| {r['b']} | {r['s']} | {r['h']}x{r['hd']} "
+            f"| {'yes' if r['remat'] else 'no'} "
             f"| {r['ms']:.1f} | {r['tok_s']:,.0f} | "
-            f"**{r['mfu']:.1f}%** | {r['attn_frac']:.0f}% |"
+            f"**{r['mfu']:.1f}%** | {r['hw_mfu']:.1f}% "
+            f"| {r['attn_frac']:.0f}% |"
         )
+    lines += [
+        "",
+        "`MFU` counts model flops (head_dim as configured); `hw MFU` "
+        "counts what the chip actually executes — GPT-2's head_dim=64 "
+        "pads to the 128-lane MXU inside the attention kernel (the QK "
+        "contraction runs over lanes), an intrinsic 2x on attention "
+        "flops for ANY TPU kernel at hd=64. The 6x128 rows carry the "
+        "same parameter budget with a hardware-native head_dim.",
+    ]
     lines += [
         "",
         "Reference bar: MLPerf BERT provenance (reference README.md:9); "

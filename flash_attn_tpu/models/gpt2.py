@@ -164,7 +164,8 @@ class GPT2LMHeadModel(nn.Module):
     attn_impl: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, input_ids, deterministic=True, positions=None):
+    def __call__(self, input_ids, deterministic=True, positions=None,
+                 return_hidden=False):
         cfg = self.config
         b, s = input_ids.shape
         wte = self.param(
@@ -202,6 +203,12 @@ class GPT2LMHeadModel(nn.Module):
         x = nn.LayerNorm(
             epsilon=cfg.layer_norm_epsilon, dtype=cfg.dtype, name="ln_f"
         )(x)
+        if return_hidden:
+            # For chunked_lm_loss: the (b, s, vocab) logits of a long
+            # sequence dwarf everything else in HBM (fp32 logits at
+            # b=8/S=4K are 6.1 GiB, plus a bf16 bwd temp) — the caller
+            # streams the LM head + CE over sequence chunks instead.
+            return x, wte
         # Tied LM head on the MXU's native bf16 x bf16 -> fp32 path: the
         # (tokens, 768) x (768, 50257) projection is ~30% of step matmul
         # flops, and an fp32 matmul runs at ~1/8 MXU peak on v5e — the
@@ -228,12 +235,75 @@ def cross_entropy_loss(logits, labels):
     return -jnp.sum(ll * valid) / jnp.maximum(jnp.sum(valid), 1)
 
 
-def make_train_step(model: GPT2LMHeadModel, optimizer: optax.GradientTransformation):
+def chunked_lm_loss(x, wte, labels, *, chunk=512, dtype=jnp.bfloat16):
+    """Next-token CE that never materializes the (b, s, vocab) logits.
+
+    Streams the tied LM head + log-softmax + gather over sequence chunks
+    with ``lax.scan`` + ``jax.checkpoint``: the forward keeps only the
+    scalar (sum, count) carry, and the backward recomputes each chunk's
+    logits on the fly — peak extra HBM is ONE chunk's fp32 logits
+    (b * chunk * vocab * 4 bytes) instead of the full sequence's
+    (measured: the full logits + their log_softmax bwd temp were 9.2 GiB
+    of the b=8/S=4K GPT-2 train step's OOM — benchmarks/
+    benchmark_gpt2_train.py). Matches ``cross_entropy_loss(logits, labels)``
+    on the same ``preferred_element_type=f32`` LM-head dot.
+    """
+    b, s, e = x.shape
+    x = x[:, :-1]
+    labels = labels[:, 1:]
+    n = s - 1
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.pad(x, [(0, 0), (0, pad), (0, 0)])
+        labels = jnp.pad(labels, [(0, 0), (0, pad)], constant_values=-100)
+    n_chunks = (n + pad) // chunk
+    xc = x.reshape(b, n_chunks, chunk, e).swapaxes(0, 1)
+    lc = labels.reshape(b, n_chunks, chunk).swapaxes(0, 1)
+
+    def body(carry, xs):
+        tot, cnt = carry
+        x_c, lab_c = xs  # (b, chunk, e), (b, chunk)
+        logits = jax.lax.dot_general(
+            x_c.astype(dtype), wte.astype(dtype),
+            (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        valid = lab_c != -100
+        lab = jnp.where(valid, lab_c, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+        tot = tot + jnp.sum(ll * valid)
+        cnt = cnt + jnp.sum(valid)
+        return (tot, cnt), None
+
+    (tot, cnt), _ = jax.lax.scan(
+        jax.checkpoint(body), (jnp.float32(0.0), jnp.float32(0.0)), (xc, lc)
+    )
+    return -tot / jnp.maximum(cnt, 1)
+
+
+def make_train_step(model: GPT2LMHeadModel, optimizer: optax.GradientTransformation,
+                    lm_loss_chunk: Optional[int] = None):
     """Returns train_step(params, opt_state, batch, dropout_key) ->
-    (params, opt_state, loss)."""
+    (params, opt_state, loss).
+
+    ``lm_loss_chunk``: stream the LM head + CE over sequence chunks of
+    this many tokens (``chunked_lm_loss``) instead of materializing the
+    full (b, s, vocab) logits — required to fit long-sequence training
+    steps in HBM (the logits dominate the step's memory beyond S~2K).
+    """
 
     def loss_fn(params, batch, dropout_key):
         rngs = {"dropout": dropout_key} if model.config.dropout > 0 else {}
+        if lm_loss_chunk is not None:
+            x, wte = model.apply(
+                params, batch["input_ids"], deterministic=not rngs,
+                rngs=rngs, return_hidden=True,
+            )
+            return chunked_lm_loss(
+                x, wte, batch["labels"], chunk=lm_loss_chunk,
+                dtype=model.config.dtype,
+            )
         logits = model.apply(
             params, batch["input_ids"], deterministic=not rngs, rngs=rngs
         )

@@ -9,6 +9,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flash_attn_tpu.models.gpt2 import (
     GPT2Config,
     GPT2LMHeadModel,
+    chunked_lm_loss,
     cross_entropy_loss,
     make_sharded_model,
     make_train_step,
@@ -90,6 +91,53 @@ def test_sharded_model_window_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-3, rtol=2e-3
     )
+
+
+def test_chunked_lm_loss_matches_full():
+    """chunked_lm_loss streams the LM head + CE over sequence chunks; its
+    value AND gradients must match the materialized-logits path (same
+    bf16-dot contract), including a chunk that doesn't divide s-1 and
+    ignored (-100) labels."""
+    cfg = _tiny()
+    model = GPT2LMHeadModel(cfg)
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 96)), jnp.int32)
+    labels = ids.at[:, 40:50].set(-100)
+    params = model.init(jax.random.PRNGKey(0), ids)
+
+    def full(p):
+        return cross_entropy_loss(model.apply(p, ids), labels)
+
+    def chunked(p):
+        x, wte = model.apply(p, ids, return_hidden=True)
+        return chunked_lm_loss(x, wte, labels, chunk=40, dtype=cfg.dtype)
+
+    l0, g0 = jax.value_and_grad(full)(params)
+    l1, g1 = jax.value_and_grad(chunked)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+def test_train_step_chunked_loss_reduces_loss():
+    cfg = _tiny()
+    model = GPT2LMHeadModel(cfg)
+    rng = np.random.default_rng(12)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 128)), jnp.int32)
+    batch = {"input_ids": ids, "labels": ids}
+    params = model.init(jax.random.PRNGKey(0), ids)
+    opt = optax.adamw(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(model, opt, lm_loss_chunk=64))
+    losses = []
+    for i in range(5):
+        params, opt_state, loss = step(
+            params, opt_state, batch, jax.random.PRNGKey(i)
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 0.5, losses
 
 
 def test_remat_matches_no_remat():
