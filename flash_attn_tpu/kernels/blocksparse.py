@@ -56,6 +56,9 @@ LOG2E = 1.4426950408889634
 # layout skips the bank and kernels build masks in-kernel from the
 # per-cell rowmask (slower per partial tile but O(sq*ncells) memory).
 MASK_BANK_MAX_BYTES = 128 * 1024 * 1024
+# Interval mask source (BlockSparseLayout.row_intervals); disable to force
+# the bank/rowmask paths (tests A/B the three implementations).
+ENABLE_INTERVAL_MASKS = True
 
 
 def _round_up(x, m):
@@ -88,6 +91,17 @@ class BlockSparseLayout:
     mask_bank: jax.Array | None = None  # (n_banked, block_q, block_k) int8
     kv_maskid: jax.Array | None = None  # (nq, max_kv) int32 bank ids
     q_maskid: jax.Array | None = None  # (nk_tiles, max_q) int32 bank ids
+    # Interval mask source (round 4): when every q row's active kv columns
+    # decompose into <= 2 contiguous runs (true for sliding-window, global
+    # +window, block-local, causal, and their unions — the dominant
+    # structured-sparsity layouts), the partial-tile mask is FOUR per-row
+    # int32 columns [lo1, hi1, lo2, hi2) in absolute kv coords (causal +
+    # sk bounds folded in at build time). The in-kernel mask becomes 4
+    # compares + 3 logicals on the score tile — no per-cell lane selects
+    # (rowmask path) and no (block_q, block_k) int8 slab DMA per partial
+    # tile (bank path: 1 MB/tile, ~3x the K+V bytes). Takes priority over
+    # the bank when available.
+    row_intervals: jax.Array | None = None  # (sq_pad, 4) int32
 
     @property
     def max_kv(self):
@@ -163,13 +177,50 @@ def build_layout(
     full &= in_bounds[None, :]
     full &= blk
 
+    # ---- per-row interval decomposition (see BlockSparseLayout) ----
+    # Element-level active kv range per q row, causal + bounds folded:
+    # row r sees cells bm[r // ROW_CELL]; causal clips to c <= r; bounds
+    # clip to c < sk. <= 2 runs per row => the cheap interval mask source.
+    row_intervals = None
+    runs_ok = ENABLE_INTERVAL_MASKS
+    iv = np.zeros((sq_pad, 4), np.int32)
+    for rc in range(n_row_cells if runs_ok else 0):
+        cells_active = np.nonzero(bm[rc])[0]
+        # contiguous runs over cell ids
+        runs = []
+        for c0 in cells_active:
+            if runs and runs[-1][1] == c0:
+                runs[-1][1] = c0 + 1
+            else:
+                runs.append([c0, c0 + 1])
+        if len(runs) > 2:
+            runs_ok = False
+            break
+        for r in range(rc * ROW_CELL, (rc + 1) * ROW_CELL):
+            hi_clip = min(sk, r + 1) if causal else sk
+            out_runs = []
+            for c0, c1 in runs:
+                lo, hi = c0 * COL_CELL, min(c1 * COL_CELL, hi_clip)
+                if lo < hi:
+                    out_runs.append((lo, hi))
+            if len(out_runs) > 2:
+                runs_ok = False
+                break
+            for ri, (lo, hi) in enumerate(out_runs):
+                iv[r, 2 * ri] = lo
+                iv[r, 2 * ri + 1] = hi
+        if not runs_ok:
+            break
+    if runs_ok:
+        row_intervals = jnp.asarray(iv)
+
     # ---- elementwise mask bank for partial tiles (see BlockSparseLayout)
     partial = blk & ~full  # (nq, nk_t)
     n_banked = int(partial.sum())
     bank_bytes = n_banked * block_q * block_k
     bank = None
     bank_id = {}
-    if 0 < bank_bytes <= MASK_BANK_MAX_BYTES:
+    if row_intervals is None and 0 < bank_bytes <= MASK_BANK_MAX_BYTES:
         bank = np.zeros((n_banked, block_q, block_k), np.int8)
         rows_g = np.arange(block_q)
         cols_g = np.arange(block_k)
@@ -245,6 +296,7 @@ def build_layout(
         mask_bank=None if bank is None else jnp.asarray(bank),
         kv_maskid=None if bank is None else kv_maskid,
         q_maskid=None if bank is None else q_maskid,
+        row_intervals=row_intervals,
     )
 
 
@@ -314,6 +366,20 @@ def _segment_mask(seg_refs, rows_sl, *_):
     return (qs == ks) & (ks >= 0) & (qs >= 0)
 
 
+def _interval_mask(iv_rows, col0, shape, seg_refs, rows_sl):
+    """(bqs, block_k) bool mask from per-row [lo1,hi1)u[lo2,hi2) interval
+    columns (absolute kv coords; causal/bounds folded at layout build)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+    lo1 = iv_rows[:, 0:1]
+    hi1 = iv_rows[:, 1:2]
+    lo2 = iv_rows[:, 2:3]
+    hi2 = iv_rows[:, 3:4]
+    mask = ((cols >= lo1) & (cols < hi1)) | ((cols >= lo2) & (cols < hi2))
+    if seg_refs is not None:
+        mask = mask & _segment_mask(seg_refs, rows_sl)
+    return mask
+
+
 def _bs_fwd_kernel(
     kv_idx_ref,  # scalar prefetch (nq, max_kv)
     kv_cnt_ref,  # scalar prefetch (nq,)
@@ -330,10 +396,10 @@ def _bs_fwd_kernel(
     p_drop: float,
     num_heads: int,
     chains: int,
-    use_bank: bool,
+    mask_mode: str,
 ):
     idx = 0
-    if use_bank:
+    if mask_mode == "bank":
         idx += 1  # 4th scalar-prefetch ref (maskid) — index-map only
     if p_drop > 0.0:
         seed_ref = refs[idx]
@@ -365,11 +431,13 @@ def _bs_fwd_kernel(
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]
         c = jnp.float32(scale * LOG2E)
-        bank_tile = None
-        if masked and use_bank:
+        bank_tile = iv_tile = None
+        if masked and mask_mode == "bank":
             # One load + compare: activity, causal, and bounds were all
             # baked into the int8 bank at layout-build time.
             bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
+        if masked and mask_mode == "intervals":
+            iv_tile = mask_src_ref[...]  # (block_q, 4) int32
         # Phase 1: all chains' QK^T first (independent MXU streams; the
         # dense kernel's interleave — flash_fwd.py).
         ss = []
@@ -384,12 +452,17 @@ def _bs_fwd_kernel(
             s = ss[jc]
             mask = None
             if masked:
-                if use_bank:
+                if mask_mode == "bank":
                     mask = bank_tile[rows_sl]
                     if seg_refs is not None:
                         mask = mask & _segment_mask(
                             seg_refs, rows_sl, bqs, block_k
                         )
+                elif mask_mode == "intervals":
+                    mask = _interval_mask(
+                        iv_tile[rows_sl], col0, (bqs, block_k),
+                        seg_refs, rows_sl,
+                    )
                 else:
                     mask = _tile_mask(
                         mask_src_ref[...], rows_sl, cell0, row0, col0,
@@ -481,7 +554,11 @@ def blocksparse_attention_fwd(
     while bq % (chains * 128) != 0:
         chains -= 1
 
-    use_bank = layout.mask_bank is not None
+    mask_mode = (
+        "intervals" if layout.row_intervals is not None
+        else "bank" if layout.mask_bank is not None
+        else "rowmask"
+    )
     in_specs = []
     args = []
     if p_drop > 0.0:
@@ -508,7 +585,7 @@ def blocksparse_attention_fwd(
             memory_space=pltpu.VMEM,
         ),
     ]
-    if use_bank:
+    if mask_mode == "bank":
         # Partial-first row order: every trailing full/tail slot repeats
         # the last partial's bank id, so Pallas elides this fetch there.
         in_specs.append(
@@ -519,6 +596,15 @@ def blocksparse_attention_fwd(
             )
         )
         args += [q, k, v, layout.mask_bank]
+    elif mask_mode == "intervals":
+        in_specs.append(
+            pl.BlockSpec(
+                (bq, 4),
+                lambda b_, h_, iq, j, idx, *rest: (iq, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args += [q, k, v, layout.row_intervals]
     else:
         in_specs.append(
             pl.BlockSpec(
@@ -546,7 +632,7 @@ def blocksparse_attention_fwd(
         ]
 
     prefetch = [layout.kv_indices, layout.kv_counts, layout.kv_full]
-    if use_bank:
+    if mask_mode == "bank":
         prefetch.append(layout.kv_maskid)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
@@ -584,7 +670,7 @@ def blocksparse_attention_fwd(
         p_drop=p_drop,
         num_heads=h,
         chains=chains,
-        use_bank=use_bank,
+        mask_mode=mask_mode,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -617,10 +703,10 @@ def _bs_dkv_kernel(
     p_drop: float,
     num_heads: int,
     chains: int,
-    use_bank: bool,
+    mask_mode: str,
 ):
     idx = 0
-    if use_bank:
+    if mask_mode == "bank":
         idx += 1  # 4th scalar-prefetch ref (maskid) — index-map only
     if p_drop > 0.0:
         seed_ref = refs[idx]
@@ -653,9 +739,11 @@ def _bs_dkv_kernel(
         c = jnp.float32(scale * LOG2E)
         lse_col = lse_ref[0, 0]  # (block_q, 1) packed
         di_full = di_ref[0, 0]
-        bank_tile = None
-        if masked and use_bank:
+        bank_tile = iv_tile = None
+        if masked and mask_mode == "bank":
             bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
+        if masked and mask_mode == "intervals":
+            iv_tile = mask_src_ref[...]  # (block_q, 4) int32
         # Chains processed sequentially (dot -> math per chain) to keep one
         # chain's score/dp tiles live at a time (VMEM; bwd has 5 dots per
         # chain to overlap with anyway).
@@ -674,10 +762,15 @@ def _bs_dkv_kernel(
             di_col = di_full[rows_sl]
             p = jnp.exp2(s * c - lse2)
             if masked:
-                if use_bank:
+                if mask_mode == "bank":
                     mask = bank_tile[rows_sl]
                     if seg_refs is not None:
                         mask = mask & _segment_mask(seg_refs, rows_sl)
+                elif mask_mode == "intervals":
+                    mask = _interval_mask(
+                        iv_tile[rows_sl], col0, (bqs, block_k),
+                        seg_refs, rows_sl,
+                    )
                 else:
                     mask = _tile_mask(
                         mask_src_ref[...], rows_sl, cell0, row0, col0,
@@ -741,10 +834,10 @@ def _bs_dq_kernel(
     p_drop: float,
     num_heads: int,
     chains: int,
-    use_bank: bool,
+    mask_mode: str,
 ):
     idx = 0
-    if use_bank:
+    if mask_mode == "bank":
         idx += 1  # 4th scalar-prefetch ref (maskid) — index-map only
     if p_drop > 0.0:
         seed_ref = refs[idx]
@@ -776,9 +869,11 @@ def _bs_dq_kernel(
         c = jnp.float32(scale * LOG2E)
         lse_col = lse_ref[0, 0]
         di_full = di_ref[0, 0]
-        bank_tile = None
-        if masked and use_bank:
+        bank_tile = iv_tile = None
+        if masked and mask_mode == "bank":
             bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
+        if masked and mask_mode == "intervals":
+            iv_tile = mask_src_ref[...]  # (block_q, 4) int32
         for jc in range(chains):
             rows_sl = slice(jc * bqs, (jc + 1) * bqs)
             row0 = iq * block_q + jc * bqs
@@ -794,10 +889,15 @@ def _bs_dq_kernel(
             di_col = di_full[rows_sl]
             p = jnp.exp2(s * c - lse2)
             if masked:
-                if use_bank:
+                if mask_mode == "bank":
                     mask = bank_tile[rows_sl]
                     if seg_refs is not None:
                         mask = mask & _segment_mask(seg_refs, rows_sl)
+                elif mask_mode == "intervals":
+                    mask = _interval_mask(
+                        iv_tile[rows_sl], col0, (bqs, block_k),
+                        seg_refs, rows_sl,
+                    )
                 else:
                     mask = _tile_mask(
                         mask_src_ref[...], rows_sl, cell0, row0, col0,
@@ -890,23 +990,34 @@ def blocksparse_attention_bwd(
             pl.BlockSpec((1, 1, bq, 1), qmap, memory_space=pltpu.VMEM),  # di
         ]
 
-    use_bank = layout.mask_bank is not None
+    mask_mode = (
+        "intervals" if layout.row_intervals is not None
+        else "bank" if layout.mask_bank is not None
+        else "rowmask"
+    )
     common = dict(
         sk=sk, sk_pad=sk_pad, block_q=bq, block_k=bk, causal=layout.causal,
         has_segments=has_segments, scale=float(softmax_scale),
-        p_drop=p_drop, num_heads=h, chains=chains, use_bank=use_bank,
+        p_drop=p_drop, num_heads=h, chains=chains, mask_mode=mask_mode,
     )
 
     # ---- dKV: grid (b, h, nk_t, max_q); q blocks indexed via q_indices ----
     qmap = lambda b_, h_, ik, j, idx, *rest: (b_, h_, idx[ik, j], 0)  # noqa: E731
     kmap = lambda b_, h_, ik, j, idx, *rest: (b_, h_, ik, 0)  # noqa: E731
-    if use_bank:
+    if mask_mode == "bank":
         mask_spec = pl.BlockSpec(
             (1, bq, bk),
             lambda b_, h_, ik, j, idx, cnt, flg, mid: (mid[ik, j], 0, 0),
             memory_space=pltpu.VMEM,
         )
         mask_arg = layout.mask_bank
+    elif mask_mode == "intervals":
+        mask_spec = pl.BlockSpec(
+            (bq, 4),
+            lambda b_, h_, ik, j, idx, *rest: (idx[ik, j], 0),
+            memory_space=pltpu.VMEM,
+        )
+        mask_arg = layout.row_intervals
     else:
         mask_spec = pl.BlockSpec(
             (bq, ncol),
@@ -938,7 +1049,7 @@ def blocksparse_attention_bwd(
         memory_space=pltpu.VMEM,
     )
     prefetch = [layout.q_indices, layout.q_counts, layout.q_full]
-    if use_bank:
+    if mask_mode == "bank":
         prefetch.append(layout.q_maskid)
     dk, dv = pl.pallas_call(
         functools.partial(_bs_dkv_kernel, max_q=layout.max_q, **common),
@@ -965,10 +1076,16 @@ def blocksparse_attention_bwd(
     # ---- dQ: grid (b, h, nq, max_kv) ----
     qmap = lambda b_, h_, iq, j, idx, *rest: (b_, h_, iq, 0)  # noqa: E731
     kmap = lambda b_, h_, iq, j, idx, *rest: (b_, h_, idx[iq, j], 0)  # noqa: E731
-    if use_bank:
+    if mask_mode == "bank":
         mask_spec = pl.BlockSpec(
             (1, bq, bk),
             lambda b_, h_, iq, j, idx, cnt, flg, mid: (mid[iq, j], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif mask_mode == "intervals":
+        mask_spec = pl.BlockSpec(
+            (bq, 4),
+            lambda b_, h_, iq, j, idx, *rest: (iq, 0),
             memory_space=pltpu.VMEM,
         )
     else:
@@ -996,7 +1113,7 @@ def blocksparse_attention_bwd(
             q_segment_ids.astype(jnp.int32), kv_segment_ids.astype(jnp.int32)
         ]
     prefetch = [layout.kv_indices, layout.kv_counts, layout.kv_full]
-    if use_bank:
+    if mask_mode == "bank":
         prefetch.append(layout.kv_maskid)
     dq = pl.pallas_call(
         functools.partial(_bs_dq_kernel, max_kv=layout.max_kv, **common),

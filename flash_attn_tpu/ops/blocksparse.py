@@ -62,7 +62,7 @@ class _BsConfig:
 
 def _layout_from(cfg: _BsConfig, arrays) -> BlockSparseLayout:
     (kv_indices, kv_counts, kv_full, q_indices, q_counts, q_full,
-     rowmask, mask_bank, kv_maskid, q_maskid) = arrays
+     rowmask, mask_bank, kv_maskid, q_maskid, row_intervals) = arrays
     return BlockSparseLayout(
         sq_pad=cfg.sq_pad,
         sk_pad=cfg.sk_pad,
@@ -79,6 +79,7 @@ def _layout_from(cfg: _BsConfig, arrays) -> BlockSparseLayout:
         mask_bank=mask_bank,
         kv_maskid=kv_maskid,
         q_maskid=q_maskid,
+        row_intervals=row_intervals,
     )
 
 
@@ -190,6 +191,7 @@ def blocksparse_attention(
         layout.kv_indices, layout.kv_counts, layout.kv_full,
         layout.q_indices, layout.q_counts, layout.q_full, layout.rowmask,
         layout.mask_bank, layout.kv_maskid, layout.q_maskid,
+        layout.row_intervals,
     )
     if return_lse:
         out, lse = _bs_fwd(cfg, qp, kp, vp, lay, seg, seed)

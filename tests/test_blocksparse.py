@@ -174,9 +174,12 @@ def test_blocksparse_mha_module():
 def test_mask_bank_vs_rowmask_fallback(monkeypatch):
     """The precomputed elementwise mask bank and the in-kernel rowmask
     build are two implementations of the same mask; force the fallback
-    (bank cap = 0) and assert identical fwd outputs and grads."""
+    (bank cap = 0) and assert identical fwd outputs and grads. Intervals
+    are disabled so the bank actually engages (any mask with <= 2 active
+    runs per row would otherwise take the interval path)."""
     import flash_attn_tpu.kernels.blocksparse as BS
 
+    monkeypatch.setattr(BS, "ENABLE_INTERVAL_MASKS", False)
     rng = np.random.default_rng(11)
     b, h, d, s = 1, 2, 64, 512
     q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
@@ -203,3 +206,46 @@ def test_mask_bank_vs_rowmask_fallback(monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_bank), np.asarray(out_fb))
     for a, e in zip(g_bank, g_fb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
+
+
+def test_interval_mask_vs_rowmask():
+    """The per-row interval mask source (<= 2 contiguous runs per row:
+    window+global / banded / causal masks) must match the in-kernel
+    rowmask build exactly — fwd outputs AND grads — including rows where
+    causal clips inside a run and rows with two runs (global + band)."""
+    import flash_attn_tpu.kernels.blocksparse as BS
+
+    rng = np.random.default_rng(13)
+    b, h, d, s = 1, 2, 64, 1024
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+    # window+global banded mask: 2 runs/row, band edges cross 256-tiles
+    nrc, ncc = s // 16, s // 256
+    bm = np.zeros((nrc, ncc), bool)
+    for rc in range(nrc):
+        c_of_r = (rc * 16) // 256
+        bm[rc, max(0, c_of_r - 1): c_of_r + 1] = True  # band
+        bm[rc, 0] = True  # global column block
+    for causal in (False, True):
+        def run():
+            layout = build_layout(bm, sq=s, sk=s, block_q=256,
+                                  block_k=256, causal=causal)
+            out = blocksparse_attention(q, k, v, bm, causal=causal,
+                                        block_q=256, block_k=256)
+            grads = jax.grad(lambda *a: jnp.sum(
+                blocksparse_attention(*a, bm, causal=causal, block_q=256,
+                                      block_k=256) * g),
+                argnums=(0, 1, 2))(q, k, v)
+            return layout, out, grads
+
+        lay_iv, out_iv, g_iv = run()
+        assert lay_iv.row_intervals is not None
+        try:
+            BS.ENABLE_INTERVAL_MASKS = False
+            lay_rm, out_rm, g_rm = run()
+        finally:
+            BS.ENABLE_INTERVAL_MASKS = True
+        assert lay_rm.row_intervals is None
+        np.testing.assert_array_equal(np.asarray(out_iv), np.asarray(out_rm))
+        for a, e in zip(g_iv, g_rm):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
