@@ -96,11 +96,13 @@ class BlockSparseLayout:
     # +window, block-local, causal, and their unions — the dominant
     # structured-sparsity layouts), the partial-tile mask is FOUR per-row
     # int32 columns [lo1, hi1, lo2, hi2) in absolute kv coords (causal +
-    # sk bounds folded in at build time). The in-kernel mask becomes 4
-    # compares + 3 logicals on the score tile — no per-cell lane selects
-    # (rowmask path) and no (block_q, block_k) int8 slab DMA per partial
-    # tile (bank path: 1 MB/tile, ~3x the K+V bytes). Takes priority over
-    # the bank when available.
+    # sk bounds folded in at build time): 4 compares + 3 logicals on the
+    # score tile, O(sq) memory. Measured on v5e: the bank is still ~25%
+    # faster per partial tile when it fits (its mask is built ONCE and
+    # amortized over all b*h grid visits, while in-kernel int32 compares
+    # recur per visit) — so priority is bank > intervals > rowmask, and
+    # intervals take over exactly where the bank blows its HBM cap
+    # (long-S banded layouts: bank bytes ~ n_partial_tiles * bq * bk).
     row_intervals: jax.Array | None = None  # (sq_pad, 4) int32
 
     @property
@@ -220,7 +222,7 @@ def build_layout(
     bank_bytes = n_banked * block_q * block_k
     bank = None
     bank_id = {}
-    if row_intervals is None and 0 < bank_bytes <= MASK_BANK_MAX_BYTES:
+    if 0 < bank_bytes <= MASK_BANK_MAX_BYTES:
         bank = np.zeros((n_banked, block_q, block_k), np.int8)
         rows_g = np.arange(block_q)
         cols_g = np.arange(block_k)
@@ -366,14 +368,16 @@ def _segment_mask(seg_refs, rows_sl, *_):
     return (qs == ks) & (ks >= 0) & (qs >= 0)
 
 
-def _interval_mask(iv_rows, col0, shape, seg_refs, rows_sl):
+def _interval_mask(iv_refs, col0, shape, seg_refs, rows_sl):
     """(bqs, block_k) bool mask from per-row [lo1,hi1)u[lo2,hi2) interval
-    columns (absolute kv coords; causal/bounds folded at layout build)."""
+    columns (absolute kv coords; causal/bounds folded at layout build).
+
+    The four bounds arrive as SEPARATE (block_q, 1) column refs: packing
+    them as one (block_q, 4) tile forces lane-1/2/3 broadcasts (a Mosaic
+    relayout per compare — measured slower than the int8 bank); four
+    lane-0 columns broadcast for free."""
     cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
-    lo1 = iv_rows[:, 0:1]
-    hi1 = iv_rows[:, 1:2]
-    lo2 = iv_rows[:, 2:3]
-    hi2 = iv_rows[:, 3:4]
+    lo1, hi1, lo2, hi2 = (r[rows_sl] for r in iv_refs)
     mask = ((cols >= lo1) & (cols < hi1)) | ((cols >= lo2) & (cols < hi2))
     if seg_refs is not None:
         mask = mask & _segment_mask(seg_refs, rows_sl)
@@ -404,8 +408,12 @@ def _bs_fwd_kernel(
     if p_drop > 0.0:
         seed_ref = refs[idx]
         idx += 1
-    q_ref, k_ref, v_ref, mask_src_ref = refs[idx : idx + 4]
-    idx += 4
+    q_ref, k_ref, v_ref = refs[idx : idx + 3]
+    idx += 3
+    n_mask = 4 if mask_mode == "intervals" else 1
+    mask_refs = refs[idx : idx + n_mask]
+    mask_src_ref = mask_refs[0]
+    idx += n_mask
     seg_refs = None
     if has_segments:
         seg_refs = (refs[idx], refs[idx + 1])
@@ -431,13 +439,11 @@ def _bs_fwd_kernel(
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]
         c = jnp.float32(scale * LOG2E)
-        bank_tile = iv_tile = None
+        bank_tile = None
         if masked and mask_mode == "bank":
             # One load + compare: activity, causal, and bounds were all
             # baked into the int8 bank at layout-build time.
             bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
-        if masked and mask_mode == "intervals":
-            iv_tile = mask_src_ref[...]  # (block_q, 4) int32
         # Phase 1: all chains' QK^T first (independent MXU streams; the
         # dense kernel's interleave — flash_fwd.py).
         ss = []
@@ -460,7 +466,7 @@ def _bs_fwd_kernel(
                         )
                 elif mask_mode == "intervals":
                     mask = _interval_mask(
-                        iv_tile[rows_sl], col0, (bqs, block_k),
+                        mask_refs, col0, (bqs, block_k),
                         seg_refs, rows_sl,
                     )
                 else:
@@ -555,8 +561,8 @@ def blocksparse_attention_fwd(
         chains -= 1
 
     mask_mode = (
-        "intervals" if layout.row_intervals is not None
-        else "bank" if layout.mask_bank is not None
+        "bank" if layout.mask_bank is not None
+        else "intervals" if layout.row_intervals is not None
         else "rowmask"
     )
     in_specs = []
@@ -597,14 +603,16 @@ def blocksparse_attention_fwd(
         )
         args += [q, k, v, layout.mask_bank]
     elif mask_mode == "intervals":
-        in_specs.append(
+        # Four separate (sq_pad, 1) bound columns (see _interval_mask).
+        in_specs += [
             pl.BlockSpec(
-                (bq, 4),
+                (bq, 1),
                 lambda b_, h_, iq, j, idx, *rest: (iq, 0),
                 memory_space=pltpu.VMEM,
             )
-        )
-        args += [q, k, v, layout.row_intervals]
+        ] * 4
+        args += [q, k, v]
+        args += [layout.row_intervals[:, i:i + 1] for i in range(4)]
     else:
         in_specs.append(
             pl.BlockSpec(
@@ -711,8 +719,12 @@ def _bs_dkv_kernel(
     if p_drop > 0.0:
         seed_ref = refs[idx]
         idx += 1
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_src_ref = refs[idx : idx + 7]
-    idx += 7
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[idx : idx + 6]
+    idx += 6
+    n_mask = 4 if mask_mode == "intervals" else 1
+    mask_refs = refs[idx : idx + n_mask]
+    mask_src_ref = mask_refs[0]
+    idx += n_mask
     seg_refs = None
     if has_segments:
         seg_refs = (refs[idx], refs[idx + 1])
@@ -739,11 +751,9 @@ def _bs_dkv_kernel(
         c = jnp.float32(scale * LOG2E)
         lse_col = lse_ref[0, 0]  # (block_q, 1) packed
         di_full = di_ref[0, 0]
-        bank_tile = iv_tile = None
+        bank_tile = None
         if masked and mask_mode == "bank":
             bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
-        if masked and mask_mode == "intervals":
-            iv_tile = mask_src_ref[...]  # (block_q, 4) int32
         # Chains processed sequentially (dot -> math per chain) to keep one
         # chain's score/dp tiles live at a time (VMEM; bwd has 5 dots per
         # chain to overlap with anyway).
@@ -768,7 +778,7 @@ def _bs_dkv_kernel(
                         mask = mask & _segment_mask(seg_refs, rows_sl)
                 elif mask_mode == "intervals":
                     mask = _interval_mask(
-                        iv_tile[rows_sl], col0, (bqs, block_k),
+                        mask_refs, col0, (bqs, block_k),
                         seg_refs, rows_sl,
                     )
                 else:
@@ -842,8 +852,12 @@ def _bs_dq_kernel(
     if p_drop > 0.0:
         seed_ref = refs[idx]
         idx += 1
-    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, mask_src_ref = refs[idx : idx + 7]
-    idx += 7
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = refs[idx : idx + 6]
+    idx += 6
+    n_mask = 4 if mask_mode == "intervals" else 1
+    mask_refs = refs[idx : idx + n_mask]
+    mask_src_ref = mask_refs[0]
+    idx += n_mask
     seg_refs = None
     if has_segments:
         seg_refs = (refs[idx], refs[idx + 1])
@@ -869,11 +883,9 @@ def _bs_dq_kernel(
         c = jnp.float32(scale * LOG2E)
         lse_col = lse_ref[0, 0]
         di_full = di_ref[0, 0]
-        bank_tile = iv_tile = None
+        bank_tile = None
         if masked and mask_mode == "bank":
             bank_tile = mask_src_ref[0] != 0  # (block_q, block_k)
-        if masked and mask_mode == "intervals":
-            iv_tile = mask_src_ref[...]  # (block_q, 4) int32
         for jc in range(chains):
             rows_sl = slice(jc * bqs, (jc + 1) * bqs)
             row0 = iq * block_q + jc * bqs
@@ -895,7 +907,7 @@ def _bs_dq_kernel(
                         mask = mask & _segment_mask(seg_refs, rows_sl)
                 elif mask_mode == "intervals":
                     mask = _interval_mask(
-                        iv_tile[rows_sl], col0, (bqs, block_k),
+                        mask_refs, col0, (bqs, block_k),
                         seg_refs, rows_sl,
                     )
                 else:
@@ -991,8 +1003,8 @@ def blocksparse_attention_bwd(
         ]
 
     mask_mode = (
-        "intervals" if layout.row_intervals is not None
-        else "bank" if layout.mask_bank is not None
+        "bank" if layout.mask_bank is not None
+        else "intervals" if layout.row_intervals is not None
         else "rowmask"
     )
     common = dict(
@@ -1005,28 +1017,28 @@ def blocksparse_attention_bwd(
     qmap = lambda b_, h_, ik, j, idx, *rest: (b_, h_, idx[ik, j], 0)  # noqa: E731
     kmap = lambda b_, h_, ik, j, idx, *rest: (b_, h_, ik, 0)  # noqa: E731
     if mask_mode == "bank":
-        mask_spec = pl.BlockSpec(
+        mask_specs = [pl.BlockSpec(
             (1, bq, bk),
             lambda b_, h_, ik, j, idx, cnt, flg, mid: (mid[ik, j], 0, 0),
             memory_space=pltpu.VMEM,
-        )
-        mask_arg = layout.mask_bank
+        )]
+        mask_args = [layout.mask_bank]
     elif mask_mode == "intervals":
-        mask_spec = pl.BlockSpec(
-            (bq, 4),
+        mask_specs = [pl.BlockSpec(
+            (bq, 1),
             lambda b_, h_, ik, j, idx, *rest: (idx[ik, j], 0),
             memory_space=pltpu.VMEM,
-        )
-        mask_arg = layout.row_intervals
+        )] * 4
+        mask_args = [layout.row_intervals[:, i:i + 1] for i in range(4)]
     else:
-        mask_spec = pl.BlockSpec(
+        mask_specs = [pl.BlockSpec(
             (bq, ncol),
             lambda b_, h_, ik, j, idx, *rest: (idx[ik, j], 0),
             memory_space=pltpu.VMEM,
-        )
-        mask_arg = layout.rowmask
-    in_specs = seed_specs + tensor_specs(qmap, kmap) + [mask_spec]
-    args = seed_args + [q, k, v, dout, lse4, di, mask_arg]
+        )]
+        mask_args = [layout.rowmask]
+    in_specs = seed_specs + tensor_specs(qmap, kmap) + mask_specs
+    args = seed_args + [q, k, v, dout, lse4, di, *mask_args]
     if has_segments:
         in_specs += [
             pl.BlockSpec(
@@ -1077,25 +1089,25 @@ def blocksparse_attention_bwd(
     qmap = lambda b_, h_, iq, j, idx, *rest: (b_, h_, iq, 0)  # noqa: E731
     kmap = lambda b_, h_, iq, j, idx, *rest: (b_, h_, idx[iq, j], 0)  # noqa: E731
     if mask_mode == "bank":
-        mask_spec = pl.BlockSpec(
+        mask_specs = [pl.BlockSpec(
             (1, bq, bk),
             lambda b_, h_, iq, j, idx, cnt, flg, mid: (mid[iq, j], 0, 0),
             memory_space=pltpu.VMEM,
-        )
+        )]
     elif mask_mode == "intervals":
-        mask_spec = pl.BlockSpec(
-            (bq, 4),
+        mask_specs = [pl.BlockSpec(
+            (bq, 1),
             lambda b_, h_, iq, j, idx, *rest: (iq, 0),
             memory_space=pltpu.VMEM,
-        )
+        )] * 4
     else:
-        mask_spec = pl.BlockSpec(
+        mask_specs = [pl.BlockSpec(
             (bq, ncol),
             lambda b_, h_, iq, j, idx, *rest: (iq, 0),
             memory_space=pltpu.VMEM,
-        )
-    in_specs = seed_specs + tensor_specs(qmap, kmap) + [mask_spec]
-    args = seed_args + [q, k, v, dout, lse4, di, mask_arg]
+        )]
+    in_specs = seed_specs + tensor_specs(qmap, kmap) + mask_specs
+    args = seed_args + [q, k, v, dout, lse4, di, *mask_args]
     if has_segments:
         in_specs += [
             pl.BlockSpec(

@@ -238,13 +238,19 @@ def test_interval_mask_vs_rowmask():
                 argnums=(0, 1, 2))(q, k, v)
             return layout, out, grads
 
-        lay_iv, out_iv, g_iv = run()
-        assert lay_iv.row_intervals is not None
+        saved_cap = BS.MASK_BANK_MAX_BYTES
         try:
+            # Bank takes priority when it fits — zero the cap so the
+            # interval path actually runs.
+            BS.MASK_BANK_MAX_BYTES = 0
+            lay_iv, out_iv, g_iv = run()
+            assert lay_iv.row_intervals is not None
+            assert lay_iv.mask_bank is None
             BS.ENABLE_INTERVAL_MASKS = False
             lay_rm, out_rm, g_rm = run()
         finally:
             BS.ENABLE_INTERVAL_MASKS = True
+            BS.MASK_BANK_MAX_BYTES = saved_cap
         assert lay_rm.row_intervals is None
         np.testing.assert_array_equal(np.asarray(out_iv), np.asarray(out_rm))
         for a, e in zip(g_iv, g_rm):
