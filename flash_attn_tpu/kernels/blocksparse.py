@@ -59,6 +59,11 @@ MASK_BANK_MAX_BYTES = 128 * 1024 * 1024
 # Interval mask source (BlockSparseLayout.row_intervals); disable to force
 # the bank/rowmask paths (tests A/B the three implementations).
 ENABLE_INTERVAL_MASKS = True
+# Sub-q chain count for MASKED (partial) tiles in the fwd kernel; None =
+# same as full tiles (bq/256). The dense kernel's diagonal specialization
+# found finer chains help masked blocks (more independent MXU streams to
+# hide the mask VPU under) — A/B with benchmarks/ab_mchains.py.
+MASKED_CHAINS = None
 
 
 def _round_up(x, m):
@@ -400,6 +405,7 @@ def _bs_fwd_kernel(
     p_drop: float,
     num_heads: int,
     chains: int,
+    masked_chains: int,
     mask_mode: str,
 ):
     idx = 0
@@ -427,7 +433,6 @@ def _bs_fwd_kernel(
     cell0 = tile * (block_k // COL_CELL)
     col0 = tile * block_k
     bounds_possible = sk != sk_pad
-    bqs = block_q // chains
 
     @pl.when(j == 0)
     def _init():
@@ -436,6 +441,8 @@ def _bs_fwd_kernel(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def _compute(masked: bool):
+        ch = masked_chains if masked else chains
+        bqs = block_q // ch
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]
         c = jnp.float32(scale * LOG2E)
@@ -447,12 +454,12 @@ def _bs_fwd_kernel(
         # Phase 1: all chains' QK^T first (independent MXU streams; the
         # dense kernel's interleave — flash_fwd.py).
         ss = []
-        for jc in range(chains):
+        for jc in range(ch):
             qj = q_ref[0, 0, jc * bqs : (jc + 1) * bqs, :]
             ss.append(jax.lax.dot_general(
                 qj, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))
-        for jc in range(chains):
+        for jc in range(ch):
             rows_sl = slice(jc * bqs, (jc + 1) * bqs)
             row0 = iq * block_q + jc * bqs
             s = ss[jc]
@@ -559,6 +566,10 @@ def blocksparse_attention_fwd(
     chains = max(1, bq // 256)
     while bq % (chains * 128) != 0:
         chains -= 1
+    mchains = MASKED_CHAINS if MASKED_CHAINS is not None else chains
+    mchains = min(mchains, bq // 128)
+    while bq % (mchains * 128) != 0:
+        mchains -= 1
 
     mask_mode = (
         "bank" if layout.mask_bank is not None
@@ -678,6 +689,7 @@ def blocksparse_attention_fwd(
         p_drop=p_drop,
         num_heads=h,
         chains=chains,
+        masked_chains=mchains,
         mask_mode=mask_mode,
     )
     out, lse = pl.pallas_call(
