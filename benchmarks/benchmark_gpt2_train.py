@@ -152,6 +152,17 @@ def main():
         "contraction runs over lanes), an intrinsic 2x on attention "
         "flops for ANY TPU kernel at hd=64. The 6x128 rows carry the "
         "same parameter budget with a hardware-native head_dim.",
+        "",
+        "Remat accounting: `remat=yes` rows recompute every block forward "
+        "in the backward (required to fit 12 layers' activations at "
+        "S>=4K on one 16 GiB chip), executing ~4/3 of the no-remat "
+        "step's matmul flops — MFU, which credits model flops only, "
+        "under-reports silicon utilization by that factor on those rows.",
+        "",
+        "S>=4K rows require `lm_loss_chunk` (chunked_lm_loss, models/"
+        "gpt2.py): the materialized (b, s, vocab) fp32 logits + their "
+        "log_softmax bwd temp alone were 9.2 GiB at b=8/S=4K (the "
+        "round-3 OOM).",
     ]
     lines += [
         "",
