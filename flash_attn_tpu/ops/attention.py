@@ -509,13 +509,17 @@ def flash_attention(
       ``softcap * tanh(s / softcap)`` before the ALiBi bias and masking,
       bounding every logit to (-softcap, softcap). Differentiable (the
       backward applies the tanh chain rule in-kernel). Must be > 0.
-    - ``qk_quant="int8"``: INFERENCE-ONLY SageAttention-style path — q/k
-      are symmetrically quantized per token (k mean-centered per head,
-      which leaves the softmax exactly invariant) and the QK^T dot runs
-      on the MXU's int8 mode (2x the bf16 rate on v5e); softmax and PV
-      stay full-precision. Composes with causal / window / ALiBi / GQA /
+    - ``qk_quant="int8"``: EXPERIMENTAL, inference-only SageAttention-
+      style path — q/k are symmetrically quantized per token (k mean-
+      centered per head, which leaves the softmax exactly invariant) and
+      the QK^T dot runs as int8 x int8 -> int32; softmax and PV stay
+      full-precision. Composes with causal / window / ALiBi / GQA /
       varlen segments; not with dropout, softcap, or return_lse, and
       gradients raise (quantized scores have no defined vjp here).
+      NOT a speed win on v5e as measured: Mosaic does not reach the
+      MXU's 2x int8 rate for these dots — benchmarks/ab_int8.py
+      measured 0.68x vs bf16 at the bench shape. Kept for accuracy
+      experiments and for hardware/toolchains where int8 dots do pay.
     """
     if q.dtype == jnp.float16:
         # fp16 envelope (the reference is fp16-primary, fmha_api.cpp:136):
