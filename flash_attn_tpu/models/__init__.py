@@ -1,5 +1,6 @@
 """Model families on FlashMHA: the reference's named integration targets
-(BERT / GPT-2 / ViT, reference README.md:145) plus drop-in modules."""
+(BERT / GPT-2 / ViT, reference README.md:145), the Llama/Mistral family
+(GQA + rotary + RMSNorm + SwiGLU + sliding window), and drop-in modules."""
 
 from flash_attn_tpu.models.bert import BertConfig, BertForMaskedLM, BertModel
 from flash_attn_tpu.models.convert import (
@@ -8,6 +9,13 @@ from flash_attn_tpu.models.convert import (
     load_hf_gpt2,
 )
 from flash_attn_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel
+from flash_attn_tpu.models.llama import (
+    LlamaConfig,
+    LlamaForCausalLM,
+    convert_hf_llama_state_dict,
+    llama_config_from_hf,
+    load_hf_llama,
+)
 from flash_attn_tpu.models.modules import FlashAttention, FlashMHA
 from flash_attn_tpu.models.vit import ViTClassifier, ViTConfig
 
@@ -19,9 +27,14 @@ __all__ = [
     "FlashMHA",
     "GPT2Config",
     "GPT2LMHeadModel",
+    "LlamaConfig",
+    "LlamaForCausalLM",
     "ViTClassifier",
     "ViTConfig",
     "convert_hf_gpt2_state_dict",
+    "convert_hf_llama_state_dict",
     "gpt2_config_from_hf",
+    "llama_config_from_hf",
     "load_hf_gpt2",
+    "load_hf_llama",
 ]

@@ -63,6 +63,16 @@ class GPT2Config:
     # all 12 layers' attention temporaries live through the backward).
     remat: bool = False
 
+    # Engine-facing geometry (shared contract with LlamaConfig): GPT-2
+    # has no GQA, so the KV-cache head count equals n_head.
+    @property
+    def n_kv_heads(self) -> int:
+        return self.n_head
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
     @classmethod
     def small(cls, **kw):
         return cls(**kw)

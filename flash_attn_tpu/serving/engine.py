@@ -31,11 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from flash_attn_tpu.models.gpt2 import GPT2Config
-from flash_attn_tpu.models.gpt2_decode import (
-    chunk_prefill_step,
-    decode_step,
-    prefill,
-)
 from flash_attn_tpu.serving.cache import (
     PageAllocator,
     init_cache,
@@ -80,7 +75,17 @@ class ServingEngine:
         sample_seed: int = 0,
         stream_free_pages: bool = True,
         prefill_chunk: Optional[int] = None,
+        model_fns=None,
     ):
+        # Model adapter: any module/namespace exposing the three serving-
+        # phase functions with gpt2_decode's signatures — prefill(p, cfg,
+        # ids, lens), decode_step(p, cfg, caches, tbl, lens, toks), and
+        # chunk_prefill_step(...). Defaults to GPT-2; pass
+        # flash_attn_tpu.models.llama_decode (with a LlamaConfig) for the
+        # Llama/Mistral family.
+        if model_fns is None:
+            from flash_attn_tpu.models import gpt2_decode as model_fns
+        self.model_fns = model_fns
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -107,10 +112,11 @@ class ServingEngine:
                     f"page_size={page_size}, got {prefill_chunk}"
                 )
         self.prefill_chunk = prefill_chunk
-        hd = cfg.n_embd // cfg.n_head
+        hd = getattr(cfg, "head_dim", cfg.n_embd // cfg.n_head)
+        kv_heads = getattr(cfg, "n_kv_heads", cfg.n_head)
         self.caches = [
             init_cache(
-                cfg.n_head, num_pages, page_size, hd,
+                kv_heads, num_pages, page_size, hd,
                 dtype=cfg.dtype, quantization=kv_quantization,
             )
             for _ in range(cfg.n_layer)
@@ -147,15 +153,16 @@ class ServingEngine:
         # real model, which overflows compile-request limits and bloats the
         # executable).
         cfg_ = self.cfg
+        mfns = self.model_fns
         self._prefill = functools.partial(
             jax.jit(
-                lambda p, ids, lens: prefill(p, cfg_, ids, lens)
+                lambda p, ids, lens: mfns.prefill(p, cfg_, ids, lens)
             ),
             self.params,
         )
         self._decode = functools.partial(
             jax.jit(
-                lambda p, caches, tbl, lens, toks: decode_step(
+                lambda p, caches, tbl, lens, toks: mfns.decode_step(
                     p, cfg_, caches, tbl, lens, toks
                 ),
                 # Donate the caches: the scatter appends update the pages
@@ -187,7 +194,7 @@ class ServingEngine:
         self._chunk_prefill = functools.partial(
             jax.jit(
                 lambda p, caches, ids, pos0, cl, wtbl, tbl: (
-                    chunk_prefill_step(
+                    mfns.chunk_prefill_step(
                         p, cfg_, caches, ids, pos0, cl, wtbl, tbl
                     )
                 ),
