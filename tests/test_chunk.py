@@ -553,3 +553,48 @@ def test_chunk_forced_head_slicing():
         paged_chunk_attention(
             q, k_pages, v_pages, lens, table, heads_per_slice=3
         )
+
+
+def test_chunk_kv_block_shrink_and_oversize_error():
+    """VMEM-budget fallbacks in the launcher (kernels/chunk.py): when even
+    heads_per_slice=1 exceeds the ~2 MB score-tile budget, pages_per_block
+    halves instead of compiling toward a Mosaic VMEM OOM (here
+    group*sq=2048 rows at page_size=128 forces bk 512 -> 256); past 4x the
+    budget at pages_per_block=1 the launcher must raise, not compile."""
+    rng = np.random.default_rng(33)
+    n_kv, d, page_size = 1, 64, 128
+    sq = 2048
+    lengths = [sq]
+    pages_per_seq = sq // page_size
+    num_pages = pages_per_seq + 1
+    q = jnp.asarray(
+        rng.standard_normal((1, sq, n_kv, d)), jnp.float32
+    )
+    k_pages, v_pages, table, dense_k, dense_v = _build_paged(
+        rng, n_kv, num_pages, page_size, d, 1, lengths, pages_per_seq
+    )
+    lens = jnp.asarray(lengths, jnp.int32)
+    out = paged_chunk_attention(q, k_pages, v_pages, lens, table)
+    # Whole cache = the chunk itself => plain causal attention.
+    t = jnp.arange(sq)
+    mask = (t[None, :] <= t[:, None])[None, None]
+    ref = attention_ref(
+        q[0, :, 0][None, None],
+        dense_k[0][0][None, None],
+        dense_v[0][0][None, None],
+        mask=mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[0, :, 0]), np.asarray(ref[0, 0]),
+        atol=2e-5, rtol=1e-4,
+    )
+
+    # group=8 at sq=4096: one head slice needs 16 MB of score tile even at
+    # pages_per_block=1 — must be a clear error, not a compile attempt.
+    q_big = jnp.zeros((1, 4096, 8, d), jnp.float32)
+    with pytest.raises(ValueError, match="chunk too large"):
+        paged_chunk_attention(
+            q_big, k_pages, v_pages,
+            jnp.asarray([4096], jnp.int32),
+            jnp.zeros((1, 32), jnp.int32),
+        )
