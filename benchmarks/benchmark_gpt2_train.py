@@ -26,12 +26,12 @@ from flash_attn_tpu.models.gpt2 import GPT2Config, GPT2LMHeadModel, make_train_s
 
 
 def run_config(b, s, layers=12, steps=20, dropout=0.1, remat=False,
-               n_head=12):
+               n_head=12, remat_policy=None):
     """One measured train-step config. Returns a result dict."""
     cfg = GPT2Config(
         vocab_size=50257, n_layer=layers, n_head=n_head, n_embd=768,
         max_position_embeddings=max(1024, s), dropout=dropout,
-        dtype=jnp.bfloat16, remat=remat,
+        dtype=jnp.bfloat16, remat=remat, remat_policy=remat_policy,
     )
     model = GPT2LMHeadModel(cfg)
     rng = np.random.default_rng(0)
@@ -88,10 +88,14 @@ def main():
     ap.add_argument("--layers", type=int, default=12)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--table", action="store_true")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat-policy", default=None,
+                    choices=[None, "dots", "dots_flash"])
     args = ap.parse_args()
 
     if not args.table:
-        r = run_config(args.batch, args.seqlen, args.layers, args.steps)
+        r = run_config(args.batch, args.seqlen, args.layers, args.steps,
+                       remat=args.remat, remat_policy=args.remat_policy)
         print(f"warm loss: {r['loss0']:.3f}  ({r['n_params']/1e6:.0f}M params)")
         print(
             f"train step: {r['ms']:.1f} ms, {r['tok_s']:,.0f} tokens/s, "
@@ -104,23 +108,31 @@ def main():
     # batch scaled down as S grows; plus a same-batch 4K row to separate
     # the batch effect from the seqlen effect.
     rows = []
-    for b, s, remat, n_head in (
-        (8, 1024, False, 12),
-        (2, 4096, False, 12),
-        (8, 4096, True, 12),  # 12 layers' live activations blow HBM w/o remat
-        (1, 8192, True, 12),
-        (4, 8192, True, 12),
+    for b, s, remat, n_head, policy in (
+        (8, 1024, False, 12, None),
+        (2, 4096, False, 12, None),
+        (8, 4096, True, 12, None),  # 12 layers' activations blow HBM w/o remat
+        (1, 8192, True, 12, None),
+        (4, 8192, True, 12, None),
         # Same params/budget but head_dim=128 (6 heads): the model maps
         # natively to the 128-lane MXU, no attention padding waste.
-        (8, 4096, True, 6),
-        (4, 8192, True, 6),
+        (8, 4096, True, 6, None),
+        (4, 8192, True, 6, None),
+        # Selective remat: save dot outputs + the flash kernel output,
+        # recompute only elementwise — near-no-remat flops at O(1)-ish
+        # activation memory (models/gpt2.py remat_policy).
+        (8, 4096, True, 6, "dots_flash"),
+        (4, 8192, True, 6, "dots_flash"),
     ):
         r = run_config(b, s, args.layers, args.steps, remat=remat,
-                       n_head=n_head)
-        r["remat"] = remat
+                       n_head=n_head, remat_policy=policy)
+        r["remat"] = (
+            f"yes ({policy})" if (remat and policy) else
+            ("yes" if remat else "no")
+        )
         rows.append(r)
         print(
-            f"b={b} S={s} h={n_head} remat={remat}: {r['ms']:.1f} ms, "
+            f"b={b} S={s} h={n_head} remat={r['remat']}: {r['ms']:.1f} ms, "
             f"{r['tok_s']:,.0f} tok/s, MFU {r['mfu']:.1f}% "
             f"(hw {r['hw_mfu']:.1f}%), attn {r['attn_frac']:.0f}% of flops",
             flush=True,
@@ -139,7 +151,7 @@ def main():
     for r in rows:
         lines.append(
             f"| {r['b']} | {r['s']} | {r['h']}x{r['hd']} "
-            f"| {'yes' if r['remat'] else 'no'} "
+            f"| {r['remat']} "
             f"| {r['ms']:.1f} | {r['tok_s']:,.0f} | "
             f"**{r['mfu']:.1f}%** | {r['hw_mfu']:.1f}% "
             f"| {r['attn_frac']:.0f}% |"

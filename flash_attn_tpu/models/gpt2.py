@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import optax
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flash_attn_tpu.models.modules import FlashMHA, _seed_from_rng_key
@@ -62,6 +63,21 @@ class GPT2Config:
     # for long-context training on one chip (b=8 x S=4K blows HBM with
     # all 12 layers' attention temporaries live through the backward).
     remat: bool = False
+    # Remat offloading policy (only meaningful with remat=True):
+    #   None          — recompute everything (minimum memory, ~4/3 flops;
+    #                   the flash fwd kernel runs twice, so attention pays
+    #                   9/7 of its no-remat dot count).
+    #   "dots"        — jax.checkpoint_policies.dots_saveable: save every
+    #                   dot_general output (Wqkv, out_proj, MLP fc/proj);
+    #                   elementwise (LN, gelu, residual) recomputes. The
+    #                   flash kernel output is NOT a dot_general, so it
+    #                   still recomputes.
+    #   "dots_flash"  — "dots" plus the flash attention output (tagged
+    #                   with checkpoint_name 'flash_out'): near-zero
+    #                   recompute flops, ~10*n_embd*tokens bytes of saved
+    #                   activations per layer — the long-context MFU
+    #                   setting when it fits HBM.
+    remat_policy: str | None = None
 
     # Engine-facing geometry (shared contract with LlamaConfig): GPT-2
     # has no GQA, so the KV-cache head count equals n_head.
@@ -107,6 +123,22 @@ class Mlp(nn.Module):
         return x
 
 
+def _resolve_remat_policy(name: str | None):
+    """GPT2Config.remat_policy -> jax.checkpoint policy callable."""
+    if name is None:
+        return None
+    cp = jax.checkpoint_policies
+    if name == "dots":
+        return cp.dots_saveable
+    if name == "dots_flash":
+        return cp.save_from_both_policies(
+            cp.dots_saveable, cp.save_only_these_names("flash_out")
+        )
+    raise ValueError(
+        f"remat_policy must be None, 'dots', or 'dots_flash'; got {name!r}"
+    )
+
+
 class Block(nn.Module):
     config: GPT2Config
     attn_impl: Optional[Callable] = None  # sharded attention override
@@ -135,6 +167,10 @@ class Block(nn.Module):
             attn_out = _MhaWithImpl(
                 config=cfg, attn_impl=self.attn_impl, name="attn"
             )(h, deterministic=deterministic)
+        # Identity outside jax.checkpoint; under remat_policy="dots_flash"
+        # this names the flash kernel's output as saveable so the S^2 fwd
+        # kernel does not re-run in the backward.
+        attn_out = _checkpoint_name(attn_out, "flash_out")
         x = x + attn_out
         h = ln("ln_2")(x)
         x = x + Mlp(cfg, name="mlp")(h, deterministic=deterministic)
@@ -205,7 +241,10 @@ class GPT2LMHeadModel(nn.Module):
         if cfg.remat:
             # Recompute each block in the backward instead of saving its
             # activations (deterministic is static arg 2; arg 0 = module).
-            block_cls = nn.remat(Block, static_argnums=(2,))
+            block_cls = nn.remat(
+                Block, static_argnums=(2,),
+                policy=_resolve_remat_policy(cfg.remat_policy),
+            )
         for i in range(cfg.n_layer):
             x = block_cls(cfg, attn_impl=self.attn_impl, name=f"h_{i}")(
                 x, deterministic

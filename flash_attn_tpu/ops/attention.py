@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from flash_attn_tpu.kernels.block_sizes import MIN_BLOCK, BlockSizes
 from flash_attn_tpu.kernels.common import default_interpret
@@ -229,6 +230,13 @@ def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed, alibi, save_lse=True):
 
 def _core_fwd_vjp(cfg, q, k, v, seg, seed, alibi):
     out, lse = _core_fwd_impl(cfg, q, k, v, seg, seed, alibi)
+    # Under jax.checkpoint with a save_only_these_names("flash_out")
+    # policy (models/gpt2.py remat_policy="dots_flash") these names mark
+    # the kernel's residuals saveable, so the backward does NOT re-run
+    # the S^2 forward kernel just to rebuild (out, lse). Identity
+    # otherwise.
+    out = _checkpoint_name(out, "flash_out")
+    lse = _checkpoint_name(lse, "flash_out")
     return out, (q, k, v, seg, seed, alibi, out, lse)
 
 

@@ -171,3 +171,42 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
+
+
+def test_remat_policy_matches_full_remat():
+    """remat_policy='dots'/'dots_flash' only changes which intermediates
+    are SAVED vs recomputed — gradients must match the full-remat step to
+    fp tolerance, and unknown names must raise."""
+    import dataclasses
+
+    cfg = _tiny()
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 128)), jnp.int32)
+    models = {
+        name: GPT2LMHeadModel(
+            dataclasses.replace(cfg, remat=True, remat_policy=name)
+        )
+        for name in (None, "dots", "dots_flash")
+    }
+    params = models[None].init(jax.random.PRNGKey(0), ids)
+
+    def grad_of(model):
+        return jax.grad(
+            lambda p: cross_entropy_loss(model.apply(p, ids), ids)
+        )(params)
+
+    g_full = grad_of(models[None])
+    for name in ("dots", "dots_flash"):
+        g = grad_of(models[name])
+        for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4,
+                err_msg=f"remat_policy={name}",
+            )
+
+    import pytest as _pytest
+    bad = GPT2LMHeadModel(
+        dataclasses.replace(cfg, remat=True, remat_policy="everything")
+    )
+    with _pytest.raises(ValueError, match="remat_policy"):
+        bad.apply(params, ids)
