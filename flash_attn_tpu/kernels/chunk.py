@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flash_attn_tpu.kernels import int8 as int8_qk
 from flash_attn_tpu.kernels.common import (
     DEFAULT_MASK_VALUE,
     default_interpret,
@@ -303,14 +304,8 @@ def paged_chunk_attention(
     )
     q_qscale = None
     if qk_int8:
-        # Per-token symmetric q quantization (the cache payload is
-        # already int8 with its own per-token scales).
-        qf = q4.astype(jnp.float32)
-        qsc = jnp.maximum(
-            jnp.max(jnp.abs(qf), axis=3, keepdims=True), 1e-30
-        ) / 127.0  # (b, n_kv, gq, 1)
-        q4 = jnp.clip(jnp.round(qf / qsc), -127, 127).astype(jnp.int8)
-        q_qscale = qsc
+        # Experimental int8 QK^T prep (kernels/int8.py; demoted, INT8.md).
+        q4, q_qscale = int8_qk.quantize_q_rows(q4)
 
     pages_max = page_table.shape[1]
     # Keep the score tile (rows x bk) modest: rows grows with the chunk.

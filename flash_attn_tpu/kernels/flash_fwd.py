@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from flash_attn_tpu.kernels import int8 as int8_qk
 from flash_attn_tpu.kernels import prng
 from flash_attn_tpu.kernels.block_sizes import BlockSizes
 from flash_attn_tpu.kernels.common import (
@@ -133,10 +134,7 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref = refs[idx : idx + 3]
     idx += 3
     if qk_int8:
-        # Per-token dequantization scales for the int8 QK^T path:
-        # q rows as a (bq, 1) column, k cols PRE-TRANSPOSED to (1, bk)
-        # (a (bk, 1) -> (1, bk) vector relayout inside the kernel is the
-        # pattern Mosaic historically rejects).
+        # Experimental int8 QK^T (kernels/int8.py; demoted, INT8.md).
         qscale_ref, kscale_ref = refs[idx : idx + 2]
         idx += 2
     if has_segments:
@@ -207,8 +205,7 @@ def _fwd_kernel(
         k = k_ref[0, 0]  # (block_k, d)
         v = v_ref[0, 0]
         # Phase 1: issue every chain's QK^T up front, register-resident.
-        # int8 path: the MXU's native int8 mode runs 2x the bf16 rate on
-        # v5e; accumulate in int32 and dequantize per chain below.
+        # (int8 path accumulates in int32, dequantized per chain below.)
         dot_acc = jnp.int32 if qk_int8 else jnp.float32
         ss = []
         for j in range(q_chains):
@@ -228,13 +225,8 @@ def _fwd_kernel(
             s = ss[j]
 
             if qk_int8:
-                # Dequantize the int32 accumulator into raw-dot units:
-                # rank-1 per-row q scales x per-col k scales (softmax
-                # scale stays folded in the exp2 constant c).
-                s = (
-                    s.astype(jnp.float32)
-                    * qscale_ref[0, 0][rows_sl]  # (bqs, 1)
-                    * kscale_ref[0, 0]  # (1, block_k)
+                s = int8_qk.dequant_scores(
+                    s, qscale_ref[0, 0][rows_sl], kscale_ref[0, 0]
                 )
 
             if softcap is not None:
@@ -788,17 +780,7 @@ def flash_attention_fwd(
         assert k_scale is not None and q.dtype == jnp.int8, (
             q.dtype, k_scale,
         )
-
-        def kscale_index(*a):
-            bb, hh, ike, _ = kv_index(*a)
-            return (bb, hh, 0, ike)
-
-        in_specs += [
-            pl.BlockSpec((1, 1, bq, 1), q_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, 1, bk), kscale_index, memory_space=pltpu.VMEM
-            ),
-        ]
+        in_specs += int8_qk.fwd_scale_specs(bq, bk, q_index, kv_index)
         args += [q_scale.astype(jnp.float32), k_scale.astype(jnp.float32)]
     if has_segments:
         assert (

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
+from flash_attn_tpu.kernels import int8 as int8_qk
 from flash_attn_tpu.kernels.block_sizes import MIN_BLOCK, BlockSizes
 from flash_attn_tpu.kernels.common import default_interpret
 from flash_attn_tpu.kernels.flash_bwd import flash_attention_bwd
@@ -141,32 +142,11 @@ def _norm_alibi(alibi_slopes, b, h, softmax_scale):
     return a / jnp.float32(softmax_scale)
 
 
-def _quantize_qk_int8(qp, kp):
-    """SageAttention-style int8 QK^T prep on padded (b, h, s, d) inputs.
-
-    k is mean-centered per (b, h_kv, d) before quantizing: subtracting
-    any per-row-constant from the scores (q . k_mean) leaves the softmax
-    EXACTLY invariant, and centering shrinks k's dynamic range, which is
-    where int8 quantization error concentrates. Per-token symmetric
-    scales: q rows (b, h, s, 1), k cols pre-transposed (b, h_kv, 1, s).
-
-    Returns (q_int8, k_int8, q_scale, k_scale, k_mean)."""
-    eps = jnp.float32(1e-30)
-    qf = qp.astype(jnp.float32)
-    kf = kp.astype(jnp.float32)
-    km = jnp.mean(kf, axis=2, keepdims=True)  # (b, h_kv, 1, d)
-    kc = kf - km
-    qs = jnp.maximum(jnp.max(jnp.abs(qf), axis=3, keepdims=True), eps) / 127.0
-    ks = jnp.maximum(jnp.max(jnp.abs(kc), axis=3, keepdims=True), eps) / 127.0
-    qq = jnp.clip(jnp.round(qf / qs), -127, 127).astype(jnp.int8)
-    kq = jnp.clip(jnp.round(kc / ks), -127, 127).astype(jnp.int8)
-    return qq, kq, qs, jnp.swapaxes(ks, 2, 3), km
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _flash_core_int8(cfg: _Config, q, k, v, seg, alibi):
-    """Inference-only int8-QK forward (see ``qk_quant``)."""
-    qq, kq, qs, ks, _ = _quantize_qk_int8(q, k)
+    """Inference-only int8-QK forward (see ``qk_quant``;
+    quantization lives in kernels/int8.py — demoted, INT8.md)."""
+    qq, kq, qs, ks, _ = int8_qk.quantize_qk(q, k)
     qpos, kpos, qseg, kseg = seg if cfg.has_segments else (None,) * 4
     out, _ = flash_attention_fwd(
         qq, kq, v, qpos, kpos, qseg, kseg, None,
