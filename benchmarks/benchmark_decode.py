@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--prompt", type=int, default=512)
     ap.add_argument("--steps", type=int, default=128)
     ap.add_argument("--write-md", action="store_true")
+    ap.add_argument("--no-llama", action="store_true",
+                    help="skip the Llama-GQA serving rows")
     args = ap.parse_args()
     results = {}
 
@@ -210,8 +212,112 @@ def main():
             f"({dt / args.steps * 1e3:.2f} ms/step @ b={b})"
         )
 
+    if not args.no_llama:
+        llama_rows(args, results)
+
     if args.write_md:
         write_md(cfg, args, results)
+
+
+def llama_rows(args, results):
+    """GQA serving rows (round 5, VERDICT #3): the grouped paged-decode
+    path measured on a Llama-family model — n_kv_heads < n_heads,
+    head_dim 128 (the MXU-native width GPT-2 small lacks)."""
+    from flash_attn_tpu.models.llama import LlamaConfig, LlamaForCausalLM
+    from flash_attn_tpu.models.llama_decode import decode_step as ldecode
+    from flash_attn_tpu.models.llama_decode import prefill as lprefill
+
+    cfg = LlamaConfig(
+        vocab_size=32000, n_layer=8, n_head=16, n_kv_head=4, n_embd=2048,
+        intermediate_size=5632, max_position_embeddings=2048,
+        dtype=jnp.bfloat16,
+    )
+    results["llama_cfg"] = (
+        f"Llama-style {cfg.n_layer}L {cfg.n_head}h/{cfg.n_kv_head}kv "
+        f"{cfg.n_embd}d (hd {cfg.head_dim}, GQA group "
+        f"{cfg.n_head // cfg.n_kv_head})"
+    )
+    model = LlamaForCausalLM(cfg)
+    rng = np.random.default_rng(1)
+    b, s = args.batch, args.prompt
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), ids)
+    page_size = 128
+    pages_per_seq = 16
+    num_pages = b * pages_per_seq + 1
+
+    pf = jax.jit(lambda p, i: lprefill(p, cfg, i))
+    pf = functools.partial(pf, params)
+    logits, ks, vs = pf(ids)
+    np.asarray(logits[:1, :1])
+    ts = []
+    for i in range(15):
+        ids_i = (ids + i) % cfg.vocab_size
+        t0 = time.perf_counter()
+        logits, ks, vs = pf(ids_i)
+        np.asarray(logits[:1, :1])
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    results["llama_ttft_p50_ms"] = ts[len(ts) // 2] * 1e3
+    results["llama_ttft_p99_ms"] = (
+        ts[min(len(ts) - 1, int(len(ts) * 0.99))] * 1e3
+    )
+    print(
+        f"Llama TTFT (b={b}, prompt={s}): "
+        f"p50 {results['llama_ttft_p50_ms']:.1f} ms, "
+        f"p99 {results['llama_ttft_p99_ms']:.1f} ms"
+    )
+
+    page_table = jnp.asarray(
+        1 + np.arange(b * pages_per_seq).reshape(b, pages_per_seq),
+        jnp.int32,
+    )
+    for quant in [None, "int8", "fp8_e4m3"]:
+        caches = [
+            init_cache(cfg.n_kv_head, num_pages, page_size, cfg.head_dim,
+                       dtype=cfg.dtype, quantization=quant)
+            for _ in range(cfg.n_layer)
+        ]
+        logits, ks, vs = pf(ids)
+        wp = jax.jit(write_prompt)
+        for li in range(cfg.n_layer):
+            for bi in range(b):
+                caches[li] = wp(caches[li], ks[li][bi], vs[li][bi],
+                                page_table[bi])
+        lengths = jnp.full((b,), s, jnp.int32)
+
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(4,))
+        def run_steps(p, caches, lengths, tokens, n):
+            def body(_, carry):
+                caches, lengths, tokens = carry
+                logits, caches = ldecode(
+                    p, cfg, caches, page_table, lengths, tokens
+                )
+                tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return caches, lengths + 1, tokens
+
+            return jax.lax.fori_loop(0, n, body, (caches, lengths, tokens))
+
+        tokens = jnp.zeros((b,), jnp.int32)
+        # Warm with the SAME static step count (see the GPT-2 loop above).
+        caches, lengths, tokens = run_steps(
+            params, caches, lengths, tokens, args.steps
+        )
+        np.asarray(tokens)
+        t0 = time.perf_counter()
+        caches, lengths, tokens = run_steps(
+            params, caches, lengths, tokens, args.steps
+        )
+        np.asarray(tokens)
+        dt = time.perf_counter() - t0
+        results[f"llama_decode_{quant or 'bf16'}"] = (
+            b * args.steps / dt, dt / args.steps * 1e3
+        )
+        print(
+            f"Llama decode kv={quant or 'bf16'}: "
+            f"{b * args.steps / dt:,.0f} tokens/s  "
+            f"({dt / args.steps * 1e3:.2f} ms/step @ b={b})"
+        )
 
 
 def write_md(cfg, args, r):
@@ -233,6 +339,27 @@ def write_md(cfg, args, r):
     for q in ("bf16", "int8", "fp8_e4m3"):
         tok, ms = r[f"decode_{q}"]
         lines.append(f"| {q} | {tok:,.0f} | {ms:.2f} |")
+    if "llama_decode_bf16" in r:
+        lines += [
+            "",
+            f"## GQA decode: {r['llama_cfg']}",
+            "",
+            "The grouped paged-decode path (kv heads < q heads, head_dim "
+            "128 — the modern serving shape; each kv head's pages are "
+            "fetched ONCE and dotted against the whole query group).",
+            "",
+            "| KV cache | tokens/s | ms/step (batch) |",
+            "|---|---|---|",
+        ]
+        for q in ("bf16", "int8", "fp8_e4m3"):
+            tok, ms = r[f"llama_decode_{q}"]
+            lines.append(f"| {q} | {tok:,.0f} | {ms:.2f} |")
+        lines += [
+            "",
+            f"Llama prefill TTFT (b={args.batch}, prompt={args.prompt}): "
+            f"p50 {r['llama_ttft_p50_ms']:.1f} ms, "
+            f"p99 {r['llama_ttft_p99_ms']:.1f} ms.",
+        ]
     lines += [
         "",
         "FP8-KV quality bar: perplexity delta vs bf16 = 0.0005 on a "

@@ -120,9 +120,16 @@ def main():
         (4, 8192, True, 6, None),
         # Selective remat: save dot outputs + the flash kernel output,
         # recompute only elementwise — near-no-remat flops at O(1)-ish
-        # activation memory (models/gpt2.py remat_policy).
+        # activation memory (models/gpt2.py remat_policy). Policy sweep
+        # {full remat, dots, dots_flash} at S=4K/8K (VERDICT r4 #2):
+        # "dots" still re-runs the S^2 flash forward in the backward;
+        # "dots_flash" saves (out, lse) so it does not.
+        (8, 4096, True, 6, "dots"),
+        (4, 8192, True, 6, "dots"),
         (8, 4096, True, 6, "dots_flash"),
         (4, 8192, True, 6, "dots_flash"),
+        (8, 4096, True, 12, "dots_flash"),
+        (4, 8192, True, 12, "dots_flash"),
     ):
         r = run_config(b, s, args.layers, args.steps, remat=remat,
                        n_head=n_head, remat_policy=policy)

@@ -176,9 +176,14 @@ def main():
     qd = mk(16, 16, 1024)
     add("D1 diag-only", fl_c, qd, mk(16, 16, 1024, 1), mk(16, 16, 1024, 2),
         256, (1, 0, 1), causal_flops(16, 16, 1024))
+    # (16, 16) batch-heads: 256 one-tile rows — a 64-step launch measured
+    # an impossible 328 TFLOP/s (launch time ~ dispatch-subtraction noise),
+    # so the small-row variants use 4x the rows of the official config.
+    add("I1 int x1", fl_n, qd, mk(16, 16, 1024, 1), mk(16, 16, 1024, 2),
+        256, (0, 1, 1), dense_flops(16, 16, 1024, 1024))
+    add("I3 int x3", fl_n, qd, mk(16, 16, 3072, 1), mk(16, 16, 3072, 2),
+        256, (0, 3, 1), dense_flops(16, 16, 1024, 3072))
     q1 = mk(4, 16, 1024)
-    add("I1 int x1", fl_n, q1, mk(4, 16, 1024, 1), mk(4, 16, 1024, 2),
-        64, (0, 1, 1), dense_flops(4, 16, 1024, 1024))
     add("I6 int x6", fl_n, q1, mk(4, 16, 6144, 1), mk(4, 16, 6144, 2),
         64, (0, 6, 1), dense_flops(4, 16, 1024, 6144))
     add("I10 int x10", fl_n, q1, mk(4, 16, 10240, 1), mk(4, 16, 10240, 2),

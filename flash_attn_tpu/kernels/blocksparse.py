@@ -70,6 +70,116 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def detect_band(blockmask, *, sq: int, sk: int, causal: bool):
+    """Band-shape detector for the blocksparse router (round 5).
+
+    Returns ``(window_left, window_right, num_sinks)`` element-level
+    parameters (left/right possibly None = unbounded, num_sinks in key
+    columns) when the cell mask is EXACTLY the cell-ification of
+
+        visible(i, j) = (j < num_sinks) or (i - L <= j <= i + R)
+
+    intersected with element causality — i.e. when dispatching to the
+    dense sliding-window kernel with ``window_cell=(ROW_CELL, COL_CELL)``
+    reproduces ``expand(blockmask) & causal & bounds`` exactly (the
+    quantization identities live in kernels/common.py window_band_mask).
+    Returns None otherwise.
+
+    The solver derives (L, R, g) intervals from each cell row's run
+    decomposition; an exhaustive reconstruction check is the authority,
+    so a solver miss can only fail to route, never route wrongly.
+    """
+    CQ, CK = ROW_CELL, COL_CELL
+    bm = np.asarray(blockmask).astype(bool)
+    nr = (sq + CQ - 1) // CQ
+    nc = (sk + CK - 1) // CK
+    if bm.shape[0] < nr or bm.shape[1] < nc:
+        return None
+    bm = bm[:nr, :nc].copy()
+    cc = np.arange(nc)[None, :]
+    if causal:
+        # Causal-unreachable cells are dead whatever the mask says (the
+        # same clipping build_layout applies before tiling).
+        bm &= (np.arange(nr)[:, None] + 1) * CQ - 1 >= cc * CK
+    if not bm.any():
+        return None
+
+    # --- per-row run decomposition -> (g, per-row band run) ---
+    g = None
+    rows = []
+    for r in range(nr):
+        act = np.flatnonzero(bm[r])
+        if act.size == 0:
+            return None
+        runs = np.split(act, np.flatnonzero(np.diff(act) > 1) + 1)
+        if len(runs) > 2:
+            return None
+        if len(runs) == 2:
+            if runs[0][0] != 0:
+                return None
+            g_row = int(runs[0][-1]) + 1
+            if g is None:
+                g = g_row
+            elif g != g_row:
+                return None
+            rows.append((r, int(runs[1][0]), int(runs[1][-1])))
+        else:
+            rows.append((r, int(runs[0][0]), int(runs[0][-1])))
+    if g is None:
+        g = 0
+
+    # --- solve the element window (L, R) from the run edges ---
+    L_lo = R_lo = -np.inf
+    L_hi = R_hi = np.inf
+    for r, s0, e0 in rows:
+        a = r * CQ  # first element row of this cell row
+        b_ = a + CQ - 1  # last
+        if s0 <= g:
+            # Clamped at column 0 / merged into the global prefix:
+            # floor((a - L)/CK) <= max(s0 at 0 -> 0, g).
+            L_lo = max(L_lo, a - (g + 1) * CK + 1 if g else a - CK + 1)
+        else:
+            # Unclamped left edge: floor((a - L)/CK) == s0.
+            L_lo = max(L_lo, a - (s0 + 1) * CK + 1)
+            L_hi = min(L_hi, a - s0 * CK)
+        c_causal = b_ // CK if causal else np.inf
+        if e0 == nc - 1 or e0 == c_causal:
+            # Clamped at the grid edge / the causal staircase: the band
+            # hi merely has to reach it: floor((b_ + R)/CK) >= e0.
+            R_lo = max(R_lo, e0 * CK - b_)
+        else:
+            # Unclamped right edge: floor((b_ + R)/CK) == e0.
+            R_lo = max(R_lo, e0 * CK - b_)
+            R_hi = min(R_hi, (e0 + 1) * CK - b_ - 1)
+    if L_lo > L_hi or R_lo > R_hi:
+        return None
+    L = None if L_hi == np.inf else int(L_hi)
+    R = None if R_hi == np.inf else int(R_hi)
+    if (L is not None and L < 0) or (R is not None and R < 0):
+        return None
+    if L is None and R is None and g > 0:
+        return None  # pure-prefix masks are not a band
+
+    # --- authoritative reconstruction check ---
+    pred = np.zeros_like(bm)
+    for r in range(nr):
+        a = r * CQ
+        b_ = a + CQ - 1
+        lo = 0 if L is None else max((a - L) // CK, 0)
+        hi = nc - 1 if R is None else min((b_ + R) // CK, nc - 1)
+        if causal:
+            hi = min(hi, b_ // CK)
+        if lo <= hi:
+            pred[r, lo:hi + 1] = True
+        if g:
+            pred[r, :g] = True
+            if causal:
+                pred[r] &= cc[0] * CK <= b_
+    if not np.array_equal(pred, bm):
+        return None
+    return (L, R, g * CK)
+
+
 @dataclasses.dataclass(frozen=True)
 class BlockSparseLayout:
     """Compiled sparsity layout (static per (blockmask, shapes, causal))."""
@@ -109,6 +219,15 @@ class BlockSparseLayout:
     # intervals take over exactly where the bank blows its HBM cap
     # (long-S banded layouts: bank bytes ~ n_partial_tiles * bq * bk).
     row_intervals: jax.Array | None = None  # (sq_pad, 4) int32
+    # Band route (round 5): when the cell mask is EXACTLY the
+    # cell-ification of a sliding-window band (+ optional leading global
+    # columns), (window_left, window_right, num_sink_cols) element
+    # parameters for dispatching to the dense window kernel with
+    # window_cell=(ROW_CELL, COL_CELL) — the band-following schedule
+    # measures ~2.7x vs the generic blocksparse kernel's ~1.5x on banded
+    # masks (BLOCKSPARSE.md). None = not band-shaped; use the generic
+    # kernels.
+    band_route: tuple | None = None
 
     @property
     def max_kv(self):
@@ -304,6 +423,7 @@ def build_layout(
         kv_maskid=None if bank is None else kv_maskid,
         q_maskid=None if bank is None else q_maskid,
         row_intervals=row_intervals,
+        band_route=detect_band(blockmask, sq=sq, sk=sk, causal=causal),
     )
 
 

@@ -105,10 +105,48 @@ def attention_mask(
     return mask
 
 
+def window_band_mask(rows_t, cols_t, *, window_left, window_right,
+                     window_cell=None, num_sinks: int = 0):
+    """Sliding-window band visibility on GLOBAL coordinate grids (True =
+    inside the band), shared by the fwd and bwd kernels.
+
+    ``window_cell=(cq, ck)`` quantizes the comparison to cell granularity
+    (the blocksparse band router, ops/blocksparse.py): key column j is
+    visible from row i iff cell_c(j) lies in the band run of cell_r(i) —
+    exactly the cell-ification of the element band, via the identities
+      cc >= floor((rc*cq - L)/ck)        <=>  cw >= rw - (L + ck - 1)
+      cc <= floor((rc*cq + cq-1 + R)/ck) <=>  cw <= rw + (R + cq - 1)
+    with rw = (i // cq) * cq, cw = (j // ck) * ck. ``num_sinks > 0`` ORs
+    in the leading global columns (StreamingLLM sinks / blocksparse
+    global tokens); element-causal still composes by AND outside.
+
+    Returns None when no window component exists."""
+    if window_left is None and window_right is None:
+        return None
+    if window_cell is not None:
+        cq, ck = window_cell
+        rw = (rows_t // cq) * cq
+        cw = (cols_t // ck) * ck
+        l_eff = None if window_left is None else window_left + ck - 1
+        r_eff = None if window_right is None else window_right + cq - 1
+    else:
+        rw, cw, l_eff, r_eff = rows_t, cols_t, window_left, window_right
+    band = None
+    if l_eff is not None:
+        band = cw >= rw - l_eff
+    if r_eff is not None:
+        b2 = cw <= rw + r_eff
+        band = b2 if band is None else band & b2
+    if num_sinks > 0:
+        band = band | (cols_t < num_sinks)
+    return band
+
+
 def block_mask_predicates(
     iq, ik, *, block_q: int, block_k: int, num_k_blocks: int,
     causal: bool, bounds_possible: bool,
     window_left: int | None, window_right: int | None,
+    window_cell=None, num_sinks: int = 0,
 ):
     """Static/traced per-block mask requirement for the RECTANGULAR
     (iq, ik) grid, shared by the fwd and bwd kernels so the band-edge
@@ -122,6 +160,13 @@ def block_mask_predicates(
         (False = entirely above the diagonal / outside the band);
       - ``have_mask`` / ``have_skip``: Python bools — whether any mask /
         skip component exists statically for this launch.
+
+    With ``window_cell=(cq, ck)`` the quantized band is a superset of the
+    element band widened by at most cq + ck - 2 elements on each edge:
+    liveness uses the widened band (conservative include), the mask-free
+    test uses the narrow band (full narrow visibility implies full
+    quantized visibility). ``num_sinks`` keeps leading-column blocks live
+    and forces the masked path on any block touching the sink region.
     """
     needs_mask = jnp.bool_(False)
     should_run = jnp.bool_(True)
@@ -136,15 +181,23 @@ def block_mask_predicates(
         needs_mask = needs_mask | (r0 < c1)
         should_run = should_run & (r1 >= c0)
         have_mask = have_skip = True
-    if window_left is not None:
-        # Mask-free wrt the left band edge iff min_col >= max_row - L.
-        needs_mask = needs_mask | (c0 < r1 - window_left)
-        should_run = should_run & (c1 >= r0 - window_left)
-        have_mask = have_skip = True
-    if window_right is not None:
-        # Mask-free wrt the right band edge iff max_col <= min_row + R.
-        needs_mask = needs_mask | (c1 > r0 + window_right)
-        should_run = should_run & (c0 <= r1 + window_right)
+    if window_left is not None or window_right is not None:
+        slack = 0 if window_cell is None else sum(window_cell) - 2
+        live = jnp.bool_(True)
+        free = jnp.bool_(True)
+        if window_left is not None:
+            # Mask-free wrt the left band edge iff min_col >= max_row - L.
+            free = free & (c0 >= r1 - window_left)
+            live = live & (c1 >= r0 - window_left - slack)
+        if window_right is not None:
+            # Mask-free wrt the right band edge iff max_col <= min_row + R.
+            free = free & (c1 <= r0 + window_right)
+            live = live & (c0 <= r1 + window_right + slack)
+        if num_sinks > 0:
+            free = free | (c1 < num_sinks)
+            live = live | (c0 < num_sinks)
+        needs_mask = needs_mask | jnp.logical_not(free)
+        should_run = should_run & live
         have_mask = have_skip = True
     return needs_mask, should_run, have_mask, have_skip
 

@@ -50,6 +50,7 @@ from flash_attn_tpu.kernels.common import (
     NUM_LANES,
     block_mask_predicates,
     classify_segment_block,
+    window_band_mask,
 )
 
 LOG2E = 1.4426950408889634
@@ -62,6 +63,7 @@ DQ_SCRATCH_BYTES = 4 * 1024 * 1024
 def _chain_mask(
     shape, row0, col0, *, sk, bounds_possible, causal, has_segments,
     qpos, kpos, qseg, kseg, rows_sl, window_left=None, window_right=None,
+    window_cell=None, num_sinks: int = 0,
 ):
     """Mask for one (bqs, bk) sub-chain tile at global offset (row0, col0).
 
@@ -91,10 +93,13 @@ def _chain_mask(
         cols_t = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
         if causal:
             mask = mask & (rows_t >= cols_t)
-        if window_left is not None:
-            mask = mask & (cols_t >= rows_t - window_left)
-        if window_right is not None:
-            mask = mask & (cols_t <= rows_t + window_right)
+        band = window_band_mask(
+            rows_t, cols_t, window_left=window_left,
+            window_right=window_right, window_cell=window_cell,
+            num_sinks=num_sinks,
+        )
+        if band is not None:
+            mask = mask & band
     return mask
 
 
@@ -117,6 +122,8 @@ def _fused_kernel(
     window_right: int | None,
     has_alibi: bool = False,
     softcap: float | None = None,
+    window_cell: tuple[int, int] | None = None,
+    num_sinks: int = 0,
 ):
     """Single-pass backward: grid (b, h, ik, iq), K/V-stationary.
 
@@ -266,6 +273,8 @@ def _fused_kernel(
                     rows_sl=sl,
                     window_left=window_left,
                     window_right=window_right,
+                    window_cell=window_cell,
+                    num_sinks=num_sinks,
                 )
                 p = jnp.where(mask, p, 0.0)
 
@@ -334,6 +343,7 @@ def _fused_kernel(
                 num_k_blocks=num_k_blocks, causal=causal,
                 bounds_possible=bounds_possible,
                 window_left=window_left, window_right=window_right,
+                window_cell=window_cell, num_sinks=num_sinks,
             )
         )
         if have_skip:
@@ -447,6 +457,8 @@ def flash_attention_bwd(
     window_right: int | None = None,
     alibi: jax.Array | None = None,  # (b, h) fp32, pre-divided by scale
     softcap: float | None = None,
+    window_cell: tuple[int, int] | None = None,
+    num_sinks: int = 0,
 ):
     """Returns (dq, dk, dv) on the padded layout.
 
@@ -478,6 +490,9 @@ def flash_attention_bwd(
     has_segments = q_segment_ids is not None
     p_drop = float(dropout_p)
     windowed = window_left is not None or window_right is not None
+    if window_cell is not None or num_sinks > 0:
+        assert not has_segments, "window_cell/num_sinks require no segments"
+        assert windowed, "window_cell/num_sinks require a window"
 
     # di = rowsum(dout * out): the softmax_d correction. Cheap fused XLA
     # op; both di and lse are carried PACKED as (b, h, sq, 1) columns —
@@ -605,6 +620,8 @@ def flash_attention_bwd(
             window_right=window_right,
             has_alibi=has_alibi,
             softcap=None if softcap is None else float(softcap),
+            window_cell=window_cell,
+            num_sinks=num_sinks,
         ),
         grid=(b, h, nk, nq),
         in_specs=in_specs,

@@ -37,6 +37,7 @@ from flash_attn_tpu.kernels.block_sizes import BlockSizes
 from flash_attn_tpu.kernels.common import (
     block_mask_predicates,
     classify_segment_block,
+    window_band_mask,
 )
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -123,6 +124,8 @@ def _fwd_kernel(
     has_alibi: bool = False,
     softcap: float | None = None,
     qk_int8: bool = False,
+    window_cell: tuple[int, int] | None = None,
+    num_sinks: int = 0,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -318,10 +321,13 @@ def _fwd_kernel(
                 else:
                     if causal:
                         mask = mask & (rows_t >= cols_t)
-                    if window_left is not None:
-                        mask = mask & (cols_t >= rows_t - window_left)
-                    if window_right is not None:
-                        mask = mask & (cols_t <= rows_t + window_right)
+                    band = window_band_mask(
+                        rows_t, cols_t, window_left=window_left,
+                        window_right=window_right, window_cell=window_cell,
+                        num_sinks=num_sinks,
+                    )
+                    if band is not None:
+                        mask = mask & band
                 s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
             m_prev = m_ref[rows_sl]  # (bqs, 1) column state
@@ -536,6 +542,7 @@ def _fwd_kernel(
                 num_k_blocks=num_k_blocks, causal=causal,
                 bounds_possible=bounds_possible,
                 window_left=window_left, window_right=window_right,
+                window_cell=window_cell, num_sinks=num_sinks,
             )
         )
         masked_fn = _compute_diag if use_diag else (
@@ -604,6 +611,8 @@ def flash_attention_fwd(
     q_scale: jax.Array | None = None,  # (b, h, sq_pad, 1) fp32: int8 path
     k_scale: jax.Array | None = None,  # (b, h_kv, 1, sk_pad) fp32
     out_dtype=None,
+    window_cell: tuple[int, int] | None = None,
+    num_sinks: int = 0,
 ):
     """Launch the forward kernel on block-aligned inputs.
 
@@ -643,6 +652,14 @@ def flash_attention_fwd(
     has_segments = q_segment_ids is not None
     p_drop = float(dropout_p)
     windowed = window_left is not None or window_right is not None
+    if window_cell is not None or num_sinks > 0:
+        # Cell-quantized bands / sink columns (blocksparse band routing)
+        # compare global coordinates; the positions path is unsupported.
+        assert not has_segments, "window_cell/num_sinks require no segments"
+        assert windowed, "window_cell/num_sinks require a window"
+    # Band widening slack of the cell-quantized window (the quantized
+    # band is a superset of the element band by < cq + ck - 2 per edge).
+    wslack = 0 if window_cell is None else sum(window_cell) - 2
 
     # Triangular linearized grid for causal self-attention: enumerate only
     # the nq*(nq+1)/2 executed lower-triangle blocks instead of a dense
@@ -672,13 +689,15 @@ def flash_attention_fwd(
         and not has_segments
         and window_left is not None
         and window_right is None
+        and num_sinks == 0  # sink columns live outside the enumerated band
         and bq == bk
         and sq_pad == sk_pad
         and num_q_blocks > 1
     )
     band_wb = 0
     if band_grid:
-        band_wb = -(-window_left // bq) if window_left > 0 else 0
+        wl_eff = window_left + wslack  # widened: quantized band superset
+        band_wb = -(-wl_eff // bq) if wl_eff > 0 else 0
 
     if tri_grid:
         grid = (b, h, num_q_blocks * (num_q_blocks + 1) // 2)
@@ -715,8 +734,12 @@ def flash_attention_fwd(
             # operands. The column upper bound combines causal (c <= r)
             # with window_right (c <= r + R); the lower bound is
             # window_left (c >= r - L).
+            # Clamps use the WIDENED band (wslack) so a cell-quantized
+            # window never redirects a live block's DMA; sink columns
+            # keep their blocks un-clamped (they are live left of the
+            # band).
             ub_terms = ([0] if causal else []) + (
-                [window_right] if window_right is not None else []
+                [window_right + wslack] if window_right is not None else []
             )
             ub_off = min(ub_terms) if ub_terms else None
 
@@ -727,10 +750,16 @@ def flash_attention_fwd(
                         ((iq + 1) * bq - 1 + ub_off) // bk,
                         num_k_blocks - 1,
                     )
+                    if num_sinks > 0 and not causal:
+                        # A sink block may sit right of an early row's
+                        # band top; never clamp it away. (With causal the
+                        # ub is the diagonal, which sinks do not cross.)
+                        hi = jnp.maximum(hi, (num_sinks - 1) // bk)
                     ike = jnp.minimum(ike, jnp.maximum(hi, 0))
-                if window_left is not None:
+                if window_left is not None and num_sinks == 0:
                     lo = jnp.clip(
-                        (iq * bq - window_left) // bk, 0, num_k_blocks - 1
+                        (iq * bq - window_left - wslack) // bk,
+                        0, num_k_blocks - 1,
                     )
                     ike = jnp.maximum(ike, lo)
                 return (b_, h_ // group, ike, 0)
@@ -859,6 +888,8 @@ def flash_attention_fwd(
         has_alibi=has_alibi,
         softcap=None if softcap is None else float(softcap),
         qk_int8=qk_int8,
+        window_cell=window_cell,
+        num_sinks=num_sinks,
     )
 
     flops_mask = 0.5 if causal else 1.0

@@ -66,6 +66,11 @@ class _Config:
     has_alibi: bool = False
     softcap: float | None = None
     out_dtype: object = None  # int8 path: original (pre-quant) dtype
+    # Cell-quantized window + leading global (sink) columns: the
+    # blocksparse band router (ops/blocksparse.py) and StreamingLLM-style
+    # training sinks. See kernels/common.py window_band_mask.
+    window_cell: tuple | None = None
+    num_sinks: int = 0
 
 
 def _parse_window(window_size, causal: bool):
@@ -205,6 +210,8 @@ def _core_fwd_impl(cfg: _Config, q, k, v, seg, seed, alibi, save_lse=True):
         window_right=cfg.window_right,
         alibi=alibi,
         softcap=cfg.softcap,
+        window_cell=cfg.window_cell,
+        num_sinks=cfg.num_sinks,
     )
 
 
@@ -246,6 +253,8 @@ def _core_bwd_vjp(cfg, residuals, dout):
         window_right=cfg.window_right,
         alibi=alibi,
         softcap=cfg.softcap,
+        window_cell=cfg.window_cell,
+        num_sinks=cfg.num_sinks,
     )
     return dq, dk, dv, None, None, None
 
@@ -298,6 +307,8 @@ def _core_lse_bwd_vjp(cfg, residuals, cotangents):
         window_right=cfg.window_right,
         alibi=alibi,
         softcap=cfg.softcap,
+        window_cell=cfg.window_cell,
+        num_sinks=cfg.num_sinks,
     )
     return dq, dk, dv, None, None, None
 
@@ -454,6 +465,8 @@ def flash_attention(
     alibi_slopes: jax.Array | None = None,
     softcap: float | None = None,
     qk_quant: str | None = None,
+    num_sinks: int = 0,
+    window_cell: tuple[int, int] | None = None,
 ):
     """Fused flash attention. O = dropout(softmax(scale * Q K^T + mask)) V.
 
@@ -524,6 +537,7 @@ def flash_attention(
             block_sizes=block_sizes, return_lse=return_lse,
             interpret=interpret, layout=layout, window_size=window_size,
             alibi_slopes=alibi_slopes, softcap=softcap, qk_quant=qk_quant,
+            num_sinks=num_sinks, window_cell=window_cell,
         )
         if return_lse:
             return out[0].astype(jnp.float16), out[1]
@@ -576,6 +590,30 @@ def flash_attention(
     window_left, window_right = _parse_window(window_size, causal)
 
     has_segments = q_segment_ids is not None
+    if window_cell is not None or num_sinks > 0:
+        # Sliding-window extensions: ``num_sinks`` keeps the first N key
+        # columns always visible (StreamingLLM training sinks /
+        # blocksparse global tokens); ``window_cell=(cq, ck)`` quantizes
+        # the band comparison to cell granularity (exact blocksparse band
+        # routing — see ops/blocksparse.py). Both compare GLOBAL indices.
+        if has_segments:
+            raise ValueError(
+                "num_sinks/window_cell do not compose with segment ids "
+                "(they compare global indices, not positions)"
+            )
+        if window_left is None and window_right is None:
+            raise ValueError(
+                "num_sinks/window_cell require a window_size band"
+            )
+        if num_sinks < 0:
+            raise ValueError(f"num_sinks must be >= 0, got {num_sinks}")
+        if window_cell is not None:
+            cq_c, ck_c = window_cell
+            if int(cq_c) < 1 or int(ck_c) < 1:
+                raise ValueError(f"window_cell must be >= 1, {window_cell}")
+            window_cell = (int(cq_c), int(ck_c))
+        if qk_quant is not None:
+            raise ValueError("num_sinks/window_cell: no qk_quant support")
     if not has_segments:
         # Without segments the window compares global indices, so a band
         # covering every (i, j) pair is exactly the unwindowed kernel —
@@ -586,6 +624,11 @@ def flash_attention(
             window_left = None
         if window_right is not None and window_right >= sk - 1:
             window_right = None
+        if window_left is None and window_right is None:
+            # Band dropped as all-covering: the quantized band is a
+            # superset and the sink columns a subset — both redundant.
+            window_cell = None
+            num_sinks = 0
     if has_segments and kv_segment_ids is None:
         raise ValueError("q_segment_ids requires kv_segment_ids")
     if has_segments and q_positions is None:
@@ -670,6 +713,8 @@ def flash_attention(
         window_right=window_right,
         has_alibi=alibi is not None,
         softcap=None if softcap is None else float(softcap),
+        window_cell=window_cell,
+        num_sinks=int(num_sinks),
     )
 
     def unpack(out):

@@ -30,7 +30,15 @@ from flash_attn_tpu.kernels.blocksparse import (
     convert_blockmask,
 )
 from flash_attn_tpu.kernels.block_sizes import MIN_BLOCK
-from flash_attn_tpu.ops.attention import default_interpret
+from flash_attn_tpu.ops.attention import default_interpret, flash_attention
+
+# Band routing (round 5, VERDICT #5): blockmasks that are exactly the
+# cell-ification of a sliding-window band (+ optional global columns)
+# dispatch to the dense window kernel's band-following schedule
+# (window_cell-quantized, bit-equal mask semantics) — measured ~2.7x vs
+# the generic blocksparse kernel's ~1.5x on banded masks (BLOCKSPARSE.md).
+# Module flag so tests / A/B harnesses can force the generic path.
+ENABLE_BAND_ROUTE = True
 
 
 def expand_blockmask(blockmask, sq: int, sk: int) -> jax.Array:
@@ -153,6 +161,27 @@ def blocksparse_attention(
         layout = build_layout(
             np.asarray(blockmask), sq=sq, sk=sk, block_q=block_q,
             block_k=block_k, causal=causal,
+        )
+
+    route = layout.band_route if ENABLE_BAND_ROUTE else None
+    if route is not None and key_padding_mask is None:
+        # Band-shaped mask: dispatch to the dense sliding-window kernel's
+        # band-following schedule. The cell-quantized window + sink
+        # columns reproduce expand(blockmask) & causal & bounds exactly
+        # (detect_band's reconstruction check is the proof obligation), so
+        # outputs, LSE, and gradients match the generic kernel's
+        # semantics; key-padding masks stay on the generic path (the
+        # window kernel's global-index band does not compose with
+        # segment ids).
+        wl, wr, sinks = route
+        window = None if (wl is None and wr is None) else (wl, wr)
+        return flash_attention(
+            q, k, v, causal=causal, softmax_scale=softmax_scale,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
+            return_lse=return_lse, interpret=interpret,
+            window_size=window,
+            num_sinks=sinks if window is not None else 0,
+            window_cell=(ROW_CELL, COL_CELL) if window is not None else None,
         )
 
     d_pad = _round_up(d, MIN_BLOCK)
