@@ -521,6 +521,17 @@ def flash_attention(
       MXU's 2x int8 rate for these dots — benchmarks/ab_int8.py
       measured 0.68x vs bf16 at the bench shape. Kept for accuracy
       experiments and for hardware/toolchains where int8 dots do pay.
+    - ``num_sinks``: with a ``window_size`` band, keeps the first N key
+      columns always visible (global attention-sink tokens — the
+      training-path twin of the paged decode kernels' ``num_sinks``;
+      StreamingLLM, Longformer-style global prefixes). Global indices;
+      does not compose with segment ids.
+    - ``window_cell``: (cq, ck) — quantize the window comparison to cell
+      granularity: key j is visible from query i iff cell j//ck lies in
+      the band run of cell row i//cq. Used by the blocksparse band
+      router (ops/blocksparse.py) to reproduce a cell-granular blockmask
+      EXACTLY on the band-following window schedule; see
+      kernels/common.py window_band_mask for the identities.
     """
     if q.dtype == jnp.float16:
         # fp16 envelope (the reference is fp16-primary, fmha_api.cpp:136):
