@@ -189,6 +189,34 @@ def main():
              mask=build_mask(s, s, causal=True, window_left=w)[None, None]),
         hkv=2, seed=3,
     )
+    # Round-5 features: training sinks + the cell-quantized band (the
+    # blocksparse band router's kernel path).
+    i_g = np.arange(s)[:, None]
+    j_g = np.arange(s)[None, :]
+    sink_mask = (
+        (np.asarray(build_mask(s, s, causal=True, window_left=w))
+         | (j_g < 64))
+        & (i_g >= j_g)
+    )
+    check_fwd_bwd(
+        "window+sinks fwd+bwd (w=300, sinks=64, causal)",
+        dict(causal=True, window_size=(w, None), num_sinks=64),
+        dict(mask=jnp.asarray(sink_mask)[None, None]),
+        seed=7,
+    )
+    Lq = 700
+    rw = (i_g // 16) * 16
+    cw = (j_g // 256) * 256
+    cell_mask = (
+        ((cw >= rw - (Lq + 255)) | (j_g < 512)) & (i_g >= j_g)
+    )
+    check_fwd_bwd(
+        "cell-quantized band + sinks (band route kernel path)",
+        dict(causal=True, window_size=(Lq, None), window_cell=(16, 256),
+             num_sinks=512),
+        dict(mask=jnp.asarray(cell_mask)[None, None]),
+        seed=8,
+    )
     check_kvcache("kvcache chunk append+attend (sq=24, hist=700)")
     check_kvcache(
         "kvcache chunk + window+softcap+alibi",
