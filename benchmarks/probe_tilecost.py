@@ -202,7 +202,7 @@ def main():
         fns[name] = (g1, gN)
         print(f"  compiled {name} in {time.time() - t0:.0f}s", flush=True)
 
-    ROUNDS = 9
+    ROUNDS = 11
     times = {n: [] for n in variants}
     for rd in range(ROUNDS):
         for name, (g1, gN) in fns.items():
@@ -213,7 +213,21 @@ def main():
             t2 = time.perf_counter()
             times[name].append(((t2 - t1) - (t1 - t0)) / CHAIN)
 
-    med = {n: sorted(ts)[ROUNDS // 2] for n, ts in times.items()}
+    import json
+    print("RAW_ROUNDS_JSON " + json.dumps(
+        {n: [round(t * 1e6, 2) for t in ts] for n, ts in times.items()}))
+
+    # Ambient cancellation: the chip's rate drifts +-10% between rounds
+    # (shared tunneled chip), which pollutes a fit on absolute medians.
+    # Every round times ALL variants back-to-back, so the per-round ratio
+    # T_v / T_control cancels the drift; the per-variant estimate is
+    # median(ratio) x median(T_control).
+    mm = times["MM control"]
+    mm_med = sorted(mm)[ROUNDS // 2]
+    med = {}
+    for n, ts in times.items():
+        ratios = sorted(t / c for t, c in zip(ts, mm))
+        med[n] = ratios[ROUNDS // 2] * mm_med
 
     # Least-squares fit over the flash variants (exclude MM control and
     # the nodiag variant: its diagonal runs different code).
