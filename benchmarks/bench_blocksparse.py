@@ -85,6 +85,8 @@ def main():
         "blockdiag 50%": make_blockdiag_mask(2),
         "full 100%": make_mask(1.1, rng),
     }
+    import flash_attn_tpu.ops.blocksparse as bso
+
     for name, m in masks.items():
         dens = m.mean()
         lay = build_layout(m, sq=S, sk=S)
@@ -95,7 +97,26 @@ def main():
                 jnp.swapaxes(v, 1, 2), lay,
             ).swapaxes(1, 2)
 
-        fns[f"{name} (true {dens * 100:.0f}%)"] = f
+        label = f"{name} (true {dens * 100:.0f}%)"
+        if lay.band_route is not None:
+            label += " [band-routed]"
+
+            def f_generic(q, k, v, lay=lay):
+                # Same mask through the GENERIC blocksparse kernel (the
+                # round-5 band router off): trace-time flag, so toggling
+                # around the trace is enough.
+                old = bso.ENABLE_BAND_ROUTE
+                bso.ENABLE_BAND_ROUTE = False
+                try:
+                    return blocksparse_attention(
+                        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                        jnp.swapaxes(v, 1, 2), lay,
+                    ).swapaxes(1, 2)
+                finally:
+                    bso.ENABLE_BAND_ROUTE = old
+
+            fns[f"{name} generic (route off)"] = f_generic
+        fns[label] = f
 
     built = {}
     for name, f in fns.items():
