@@ -86,36 +86,69 @@ def main():
         "full 100%": make_mask(1.1, rng),
     }
     import flash_attn_tpu.ops.blocksparse as bso
+    from flash_attn_tpu.kernels.blocksparse import ROW_CELL as RC
 
-    for name, m in masks.items():
+    def make_causal_band_mask(w):
+        """Cell-ification of (element causal ∧ left-window w): the
+        band-route policy's win case (causal banded linearized grid)."""
+        nr, nc = S // RC, S // COL_CELL
+        r = np.arange(nr)[:, None] * RC
+        b_ = r + RC - 1
+        cc = np.arange(nc)[None, :]
+        lo = np.maximum((r - w) // COL_CELL, 0)
+        hi = np.minimum(b_ // COL_CELL, nc - 1)  # causal staircase
+        return (cc >= lo) & (cc <= hi)
+
+    causal_masks = {
+        "causal band w2048": (make_causal_band_mask(2048), True),
+        "causal band w1024": (make_causal_band_mask(1024), True),
+    }
+
+    all_masks = {n: (m, False) for n, m in masks.items()}
+    all_masks.update(causal_masks)
+
+    for name, (m, is_causal) in all_masks.items():
         dens = m.mean()
-        lay = build_layout(m, sq=S, sk=S)
+        lay = build_layout(m, sq=S, sk=S, causal=is_causal)
 
-        def f(q, k, v, lay=lay):
+        def f(q, k, v, lay=lay, is_causal=is_causal):
             return blocksparse_attention(
                 jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2), lay,
+                jnp.swapaxes(v, 1, 2), lay, causal=is_causal,
             ).swapaxes(1, 2)
 
         label = f"{name} (true {dens * 100:.0f}%)"
         if lay.band_route is not None:
-            label += " [band-routed]"
+            wl, wr, g = lay.band_route
+            window = None if (wl is None and wr is None) else (wl, wr)
+            policy_routes = window is None or (
+                is_causal and wl is not None and g == 0)
+            label += " [routed]" if policy_routes else " [generic by policy]"
 
-            def f_generic(q, k, v, lay=lay):
-                # Same mask through the GENERIC blocksparse kernel (the
-                # round-5 band router off): trace-time flag, so toggling
-                # around the trace is enough.
+            def f_other(q, k, v, lay=lay, is_causal=is_causal,
+                        flip=policy_routes):
+                # The road not taken, same mask: forced-generic when the
+                # policy routes, forced-window-route when it does not —
+                # the measured evidence behind the dispatch policy.
                 old = bso.ENABLE_BAND_ROUTE
                 bso.ENABLE_BAND_ROUTE = False
                 try:
-                    return blocksparse_attention(
-                        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                        jnp.swapaxes(v, 1, 2), lay,
-                    ).swapaxes(1, 2)
+                    if flip:
+                        return blocksparse_attention(
+                            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                            jnp.swapaxes(v, 1, 2), lay, causal=is_causal,
+                        ).swapaxes(1, 2)
                 finally:
                     bso.ENABLE_BAND_ROUTE = old
+                wl, wr, g = lay.band_route
+                return flash_attention(
+                    q, k, v, causal=is_causal, layout="bhsd",
+                    window_size=(wl, wr), num_sinks=g,
+                    window_cell=(RC, COL_CELL),
+                )
 
-            fns[f"{name} generic (route off)"] = f_generic
+            other = "generic (forced)" if policy_routes else "window (forced)"
+            fns[f"{name} {other}"] = f_other
         fns[label] = f
 
     built = {}

@@ -165,24 +165,36 @@ def blocksparse_attention(
 
     route = layout.band_route if ENABLE_BAND_ROUTE else None
     if route is not None and key_padding_mask is None:
-        # Band-shaped mask: dispatch to the dense sliding-window kernel's
-        # band-following schedule. The cell-quantized window + sink
-        # columns reproduce expand(blockmask) & causal & bounds exactly
-        # (detect_band's reconstruction check is the proof obligation), so
-        # outputs, LSE, and gradients match the generic kernel's
-        # semantics; key-padding masks stay on the generic path (the
-        # window kernel's global-index band does not compose with
-        # segment ids).
+        # Band-shaped mask: the cell-quantized window + sink columns
+        # reproduce expand(blockmask) & causal & bounds exactly
+        # (detect_band's reconstruction check is the proof obligation),
+        # so outputs, LSE, gradients and dropout match the generic
+        # kernel's semantics. Dispatch POLICY is measured, not assumed
+        # (BLOCKSPARSE.md round-5 A/B): route only where the dense
+        # kernel wins —
+        #   * causal left-band, no sinks: the banded linearized grid
+        #     enumerates live blocks only (the 2.7x window schedule);
+        #   * trivial full-coverage masks: the plain dense kernel.
+        # Non-causal and sink-bearing bands stay on the generic kernel:
+        # its scalar-prefetched grid gives dead tiles no grid steps at
+        # all, which measured FASTER than the rectangular windowed grid
+        # (whose band-dead steps still pay grid/DMA overhead, and whose
+        # sink blocks disable the dead-DMA redirect).
         wl, wr, sinks = route
         window = None if (wl is None and wr is None) else (wl, wr)
-        return flash_attention(
-            q, k, v, causal=causal, softmax_scale=softmax_scale,
-            dropout_p=dropout_p, dropout_seed=dropout_seed,
-            return_lse=return_lse, interpret=interpret,
-            window_size=window,
-            num_sinks=sinks if window is not None else 0,
-            window_cell=(ROW_CELL, COL_CELL) if window is not None else None,
-        )
+        dense_route = window is None
+        banded_route = causal and wl is not None and sinks == 0
+        if dense_route or banded_route:
+            return flash_attention(
+                q, k, v, causal=causal, softmax_scale=softmax_scale,
+                dropout_p=dropout_p, dropout_seed=dropout_seed,
+                return_lse=return_lse, interpret=interpret,
+                window_size=window,
+                num_sinks=sinks if window is not None else 0,
+                window_cell=(
+                    (ROW_CELL, COL_CELL) if window is not None else None
+                ),
+            )
 
     d_pad = _round_up(d, MIN_BLOCK)
     sq_pad, sk_pad = layout.sq_pad, layout.sk_pad

@@ -229,6 +229,33 @@ def test_routed_dropout_matches_generic():
                                atol=5e-5, rtol=1e-4)
 
 
+def test_window_cell_noncausal_direct_vs_oracle():
+    """The non-causal cell-quantized window + sinks KERNEL path, called
+    directly (the blocksparse dispatch policy keeps non-causal bands on
+    the generic kernel, so this path's coverage lives here)."""
+    from flash_attn_tpu import flash_attention
+
+    s = 1024
+    rng = np.random.default_rng(6)
+    b, h, d = 1, 2, 64
+    L, R, g = 200, 500, 300
+    q, k, v = random_qkv(rng, b, s, s, h, d, jnp.float32)
+    out = flash_attention(
+        q, k, v, window_size=(L, R), num_sinks=g,
+        window_cell=(ROW_CELL, COL_CELL))
+    i = np.arange(s)[:, None]
+    j = np.arange(s)[None, :]
+    rc, cc = i // ROW_CELL, j // COL_CELL
+    lo = (rc * ROW_CELL - L) // COL_CELL
+    hi = (rc * ROW_CELL + ROW_CELL - 1 + R) // COL_CELL
+    em = ((cc >= lo) & (cc <= hi)) | (j < g)
+    ref = attention_ref(
+        *(x.astype(jnp.float32) for x in map(_to_bhsd, (q, k, v))),
+        mask=jnp.asarray(em))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_to_bhsd(ref)), atol=2e-5, rtol=1e-4)
+
+
 def test_key_padding_stays_on_generic_path():
     """key_padding_mask composes via segments, which the window route
     cannot express — must fall back to the generic kernel."""
