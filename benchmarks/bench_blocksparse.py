@@ -119,10 +119,7 @@ def main():
 
         label = f"{name} (true {dens * 100:.0f}%)"
         if lay.band_route is not None:
-            wl, wr, g = lay.band_route
-            window = None if (wl is None and wr is None) else (wl, wr)
-            policy_routes = window is None or (
-                is_causal and wl is not None and g == 0)
+            policy_routes = bso.band_route_plan(lay, is_causal) is not None
             label += " [routed]" if policy_routes else " [generic by policy]"
 
             def f_other(q, k, v, lay=lay, is_causal=is_causal,

@@ -34,11 +34,44 @@ from flash_attn_tpu.ops.attention import default_interpret, flash_attention
 
 # Band routing (round 5, VERDICT #5): blockmasks that are exactly the
 # cell-ification of a sliding-window band (+ optional global columns)
-# dispatch to the dense window kernel's band-following schedule
-# (window_cell-quantized, bit-equal mask semantics) — measured ~2.7x vs
-# the generic blocksparse kernel's ~1.5x on banded masks (BLOCKSPARSE.md).
-# Module flag so tests / A/B harnesses can force the generic path.
+# can dispatch to the dense window kernel with a cell-quantized mask —
+# bit-equal semantics (detect_band's reconstruction check). The dispatch
+# POLICY is measured per case (BLOCKSPARSE.md round-5 same-process A/B);
+# see band_route_plan. Module flag so tests / A/B harnesses can force
+# the generic path.
 ENABLE_BAND_ROUTE = True
+
+
+def band_route_plan(layout, causal: bool):
+    """Measured dispatch policy for a band-shaped layout: returns the
+    (window_left, window_right, num_sinks) route parameters when the
+    dense/window kernel is the right backend for this mask, else None
+    (generic blocksparse kernels).
+
+    Evidence (BLOCKSPARSE.md round-5 same-process A/B at S=8K):
+      * trivially-full masks: the plain dense kernel (generic ran 0.95x
+        dense on all-ones) -> route;
+      * causal left-band, no sinks, WITH a mask bank: generic 2.11-2.73x
+        vs routed 2.15-2.47x — a wash at short S, so the generic kernel
+        (whose dead tiles get no grid steps at all) keeps them;
+      * the same band once the bank exceeds its 128 MB HBM cap (long-S
+        layouts): generic falls to the measured-slowest interval mask
+        source, while the window route needs NO mask memory -> route
+        (this is exactly the long-S regression VERDICT r4 #5 flagged);
+      * non-causal / sink-bearing bands: generic wins outright (routed
+        rect grid pays per-step overhead on band-dead blocks and loses
+        its dead-DMA redirect when sink columns are live: 6.2 vs 4.0 ms
+        at window-25%) -> never route.
+    """
+    if not ENABLE_BAND_ROUTE or layout.band_route is None:
+        return None
+    wl, wr, sinks = layout.band_route
+    if wl is None and wr is None and sinks == 0:
+        return layout.band_route  # trivial full coverage -> dense kernel
+    if (causal and wl is not None and sinks == 0
+            and layout.mask_bank is None):
+        return layout.band_route  # long-S causal band -> banded window grid
+    return None
 
 
 def expand_blockmask(blockmask, sq: int, sk: int) -> jax.Array:
@@ -163,38 +196,21 @@ def blocksparse_attention(
             block_k=block_k, causal=causal,
         )
 
-    route = layout.band_route if ENABLE_BAND_ROUTE else None
-    if route is not None and key_padding_mask is None:
-        # Band-shaped mask: the cell-quantized window + sink columns
-        # reproduce expand(blockmask) & causal & bounds exactly
-        # (detect_band's reconstruction check is the proof obligation),
-        # so outputs, LSE, gradients and dropout match the generic
-        # kernel's semantics. Dispatch POLICY is measured, not assumed
-        # (BLOCKSPARSE.md round-5 A/B): route only where the dense
-        # kernel wins —
-        #   * causal left-band, no sinks: the banded linearized grid
-        #     enumerates live blocks only (the 2.7x window schedule);
-        #   * trivial full-coverage masks: the plain dense kernel.
-        # Non-causal and sink-bearing bands stay on the generic kernel:
-        # its scalar-prefetched grid gives dead tiles no grid steps at
-        # all, which measured FASTER than the rectangular windowed grid
-        # (whose band-dead steps still pay grid/DMA overhead, and whose
-        # sink blocks disable the dead-DMA redirect).
-        wl, wr, sinks = route
+    plan = band_route_plan(layout, causal) if key_padding_mask is None \
+        else None
+    if plan is not None:
+        wl, wr, sinks = plan
         window = None if (wl is None and wr is None) else (wl, wr)
-        dense_route = window is None
-        banded_route = causal and wl is not None and sinks == 0
-        if dense_route or banded_route:
-            return flash_attention(
-                q, k, v, causal=causal, softmax_scale=softmax_scale,
-                dropout_p=dropout_p, dropout_seed=dropout_seed,
-                return_lse=return_lse, interpret=interpret,
-                window_size=window,
-                num_sinks=sinks if window is not None else 0,
-                window_cell=(
-                    (ROW_CELL, COL_CELL) if window is not None else None
-                ),
-            )
+        return flash_attention(
+            q, k, v, causal=causal, softmax_scale=softmax_scale,
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
+            return_lse=return_lse, interpret=interpret,
+            window_size=window,
+            num_sinks=sinks if window is not None else 0,
+            window_cell=(
+                (ROW_CELL, COL_CELL) if window is not None else None
+            ),
+        )
 
     d_pad = _round_up(d, MIN_BLOCK)
     sq_pad, sk_pad = layout.sq_pad, layout.sk_pad

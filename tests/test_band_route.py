@@ -139,7 +139,14 @@ def _oracle(q, k, v, bm, causal, sq):
     "causal,left,right,sinks",
     [(True, 700, None, 0), (True, 1000, None, 512), (False, 300, 500, 0)],
 )
-def test_routed_matches_oracle_and_generic(causal, left, right, sinks):
+def test_routed_matches_oracle_and_generic(causal, left, right, sinks,
+                                           monkeypatch):
+    import flash_attn_tpu.kernels.blocksparse as kbs
+
+    # Bank-less layout: the measured dispatch policy routes causal
+    # left-bands exactly when the mask bank is unavailable (long-S
+    # regime); forcing it off here engages the routed path at test size.
+    monkeypatch.setattr(kbs, "MASK_BANK_MAX_BYTES", 0)
     sq = 1536
     rng = np.random.default_rng(2)
     b, h, d = 1, 2, 64
@@ -148,6 +155,8 @@ def test_routed_matches_oracle_and_generic(causal, left, right, sinks):
                      sinks=sinks)
     lay = build_layout(bm, sq=sq, sk=sq, causal=causal)
     assert lay.band_route is not None
+    if causal and sinks == 0:
+        assert bs_ops.band_route_plan(lay, causal) is not None
 
     out = blocksparse_attention(q, k, v, lay, causal=causal)
     ref = _oracle(q, k, v, bm, causal, sq)
@@ -165,7 +174,10 @@ def test_routed_matches_oracle_and_generic(causal, left, right, sinks):
         np.asarray(out), np.asarray(out_generic), atol=2e-5, rtol=1e-4)
 
 
-def test_routed_lse_and_grads_match_generic():
+def test_routed_lse_and_grads_match_generic(monkeypatch):
+    import flash_attn_tpu.kernels.blocksparse as kbs
+
+    monkeypatch.setattr(kbs, "MASK_BANK_MAX_BYTES", 0)
     sq = 1280
     rng = np.random.default_rng(3)
     b, h, d = 1, 2, 64
@@ -173,7 +185,7 @@ def test_routed_lse_and_grads_match_generic():
     g_cot = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
     bm = _band_cells(sq, sq, causal=True, left=640)
     lay = build_layout(bm, sq=sq, sk=sq, causal=True)
-    assert lay.band_route is not None
+    assert bs_ops.band_route_plan(lay, True) is not None
 
     def run_lse(q, k, v):
         return blocksparse_attention(q, k, v, lay, causal=True,
@@ -206,16 +218,19 @@ def test_routed_lse_and_grads_match_generic():
             err_msg=f"d{name}")
 
 
-def test_routed_dropout_matches_generic():
+def test_routed_dropout_matches_generic(monkeypatch):
     """Both kernels hash dropout on the same global (bh, i, j) coords, so
     the routed path must agree under the same seed."""
+    import flash_attn_tpu.kernels.blocksparse as kbs
+
+    monkeypatch.setattr(kbs, "MASK_BANK_MAX_BYTES", 0)
     sq = 1024
     rng = np.random.default_rng(4)
     b, h, d = 1, 2, 64
     q, k, v = random_qkv(rng, b, sq, sq, h, d, jnp.float32)
     bm = _band_cells(sq, sq, causal=True, left=520)
     lay = build_layout(bm, sq=sq, sk=sq, causal=True)
-    assert lay.band_route is not None
+    assert bs_ops.band_route_plan(lay, True) is not None
     kw = dict(causal=True, dropout_p=0.17, dropout_seed=jnp.uint32(9))
 
     out = blocksparse_attention(q, k, v, lay, **kw)
