@@ -172,11 +172,16 @@ def main():
         "flops for ANY TPU kernel at hd=64. The 6x128 rows carry the "
         "same parameter budget with a hardware-native head_dim.",
         "",
-        "Remat accounting: `remat=yes` rows recompute every block forward "
-        "in the backward (required to fit 12 layers' activations at "
-        "S>=4K on one 16 GiB chip), executing ~4/3 of the no-remat "
+        "Remat accounting: plain `remat=yes` rows recompute every block "
+        "forward in the backward (required to fit 12 layers' activations "
+        "at S>=4K on one 16 GiB chip), executing ~4/3 of the no-remat "
         "step's matmul flops — MFU, which credits model flops only, "
-        "under-reports silicon utilization by that factor on those rows.",
+        "under-reports silicon utilization by that factor on those rows. "
+        "`yes (dots)` saves dot outputs but still re-runs the S^2 flash "
+        "forward in the backward; `yes (dots_flash)` additionally saves "
+        "the flash kernel's (out, lse) (ops/attention.py "
+        "checkpoint_name), so the backward recomputes only elementwise "
+        "ops — near-no-remat flops at O(saved-dots) activation memory.",
         "",
         "S>=4K rows require `lm_loss_chunk` (chunked_lm_loss, models/"
         "gpt2.py): the materialized (b, s, vocab) fp32 logits + their "
