@@ -96,6 +96,15 @@ def main():
         for _ in range(n_admit):  # warm/compile this batch shape
             eng.submit(list(base_prompt), max_new_tokens=1)
         eng.step()
+        # Settle: the FIRST post-warm-up step pays a one-time ~100-180 ms
+        # cost (no XLA compile events fire — remote program/allocator
+        # first-touch; benchmarks/probe_ttft_tail.py), which a 9-rep p99
+        # reports as a fake 2-5x admission tail (round-4 SERVING.md).
+        # Steady-state p99 ~= p90 ~= 35-38 ms at both admission counts.
+        for j in range(2):
+            eng.submit(list((base_prompt + 101 + j) % cfg.vocab_size),
+                       max_new_tokens=1)
+            eng.step()
         ts = []
         for i in range(9):
             prompts = [
