@@ -91,6 +91,55 @@ def check_fwd_bwd(name, kern_kw, ref_kw, *, b=2, s=2048, h=4, hkv=None,
     print(RESULTS[-1], flush=True)
 
 
+def check_band_route(seed=9):
+    """End-to-end band routing through the blocksparse API on device:
+    a bank-less causal band layout (the long-S regime band_route_plan
+    routes) must match the generic blocksparse kernel compiled."""
+    import flash_attn_tpu.kernels.blocksparse as kbs
+    import flash_attn_tpu.ops.blocksparse as bso
+    from flash_attn_tpu.kernels.blocksparse import (
+        COL_CELL, ROW_CELL, build_layout,
+    )
+    from flash_attn_tpu.ops.blocksparse import blocksparse_attention
+
+    s, b, h, d, w = 2048, 1, 4, 128, 900
+    nr, nc = s // ROW_CELL, s // COL_CELL
+    r = np.arange(nr)[:, None] * ROW_CELL
+    b_ = r + ROW_CELL - 1
+    cc = np.arange(nc)[None, :]
+    bm = (cc >= np.maximum((r - w) // COL_CELL, 0)) & (
+        cc <= np.minimum(b_ // COL_CELL, nc - 1))
+    old_cap = kbs.MASK_BANK_MAX_BYTES
+    kbs.MASK_BANK_MAX_BYTES = 0
+    try:
+        lay = build_layout(bm, sq=s, sk=s, causal=True)
+    finally:
+        kbs.MASK_BANK_MAX_BYTES = old_cap
+    assert bso.band_route_plan(lay, True) is not None
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    f = jax.jit(lambda q, k, v: blocksparse_attention(
+        q, k, v, lay, causal=True))
+    out_routed = np.asarray(f(q, k, v))
+    old = bso.ENABLE_BAND_ROUTE
+    bso.ENABLE_BAND_ROUTE = False
+    try:
+        out_generic = np.asarray(jax.jit(
+            lambda q, k, v: blocksparse_attention(
+                q, k, v, lay, causal=True))(q, k, v))
+    finally:
+        bso.ENABLE_BAND_ROUTE = old
+    err = float(np.max(np.abs(
+        out_routed.astype(np.float32) - out_generic.astype(np.float32))))
+    ok = err <= 2e-2
+    RESULTS.append((
+        "blocksparse band route (bank-less causal band, routed vs "
+        "generic)", ok, f"max |routed-generic| {err:.1e} <= 2e-2"))
+    print(RESULTS[-1])
+
+
 def check_kvcache(name, seed=5, **feat):
     """flash_attn_with_kvcache (append + multi-token paged attend) on the
     chip vs a dense tail-aligned-causal oracle."""
@@ -217,6 +266,7 @@ def main():
         dict(mask=jnp.asarray(cell_mask)[None, None]),
         seed=8,
     )
+    check_band_route()
     check_kvcache("kvcache chunk append+attend (sq=24, hist=700)")
     check_kvcache(
         "kvcache chunk + window+softcap+alibi",
