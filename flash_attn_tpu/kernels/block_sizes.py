@@ -58,11 +58,17 @@ class BlockSizes:
     # static triangular mask). Config-surfaced (not a module global) so
     # A/B harnesses get a fresh jit/Mosaic cache entry per setting.
     diag_specialization: bool = True
+    # Triangular-grid interior kv order after the leading diagonal:
+    # False = ascending (ik=0..iq-1, one backward jump mid-row), True =
+    # descending (ik=iq-1..0, every mid-row kv fetch adjacent; the only
+    # jump is at the row boundary). A/B'd round 5 (probe residual
+    # hypothesis: tri-grid DMA locality).
+    tri_descend: bool = False
 
     def __post_init__(self):
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if f.name == "diag_specialization":
+            if f.name in ("diag_specialization", "tri_descend"):
                 continue
             if f.name in ("q_chains", "q_chains_diag"):
                 if v < 1:

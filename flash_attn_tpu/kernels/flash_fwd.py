@@ -79,22 +79,25 @@ def _band_steps(nq, wb):
     return wb * (wb + 1) // 2 + (nq - wb) * (wb + 1)
 
 
-def _tri_coords(t, nq):
+def _tri_coords(t, nq, descend=False):
     """Invert the lower-triangle enumeration: step ``t`` of nq*(nq+1)/2
     -> (iq, ik) with ik <= iq. Integer-only (branch-free sum of compares
     against the row-start offsets r*(r+1)/2) so it is usable inside
     BlockSpec index maps on the scalar core.
 
-    Within each row the DIAGONAL block comes FIRST (j=0 -> ik=iq, then
-    ik=0..iq-1): online-softmax merging is order-independent, and leading
-    with the masked diagonal lets its extra VPU work overlap the
-    following interior blocks' MXU streams instead of idling at the row
-    tail."""
+    Within each row the DIAGONAL block comes FIRST (j=0 -> ik=iq):
+    online-softmax merging is order-independent, and leading with the
+    masked diagonal lets its extra VPU work overlap the following
+    interior blocks' MXU streams instead of idling at the row tail.
+    ``descend=False`` visits the interiors ascending (ik=0..iq-1 — one
+    backward kv jump mid-row after the diagonal); ``descend=True``
+    visits them descending (ik=iq-1..0 — every mid-row fetch adjacent,
+    the only jump is at the row boundary)."""
     iq = jnp.int32(0)
     for r in range(1, nq):
         iq = iq + (t >= r * (r + 1) // 2).astype(jnp.int32)
     j = t - iq * (iq + 1) // 2
-    ik = jnp.where(j == 0, iq, j - 1)
+    ik = jnp.where(j == 0, iq, iq - j if descend else j - 1)
     return iq, ik, j
 
 
@@ -126,6 +129,7 @@ def _fwd_kernel(
     qk_int8: bool = False,
     window_cell: tuple[int, int] | None = None,
     num_sinks: int = 0,
+    tri_descend: bool = False,
 ):
     idx = 0
     if p_drop > 0.0:
@@ -154,7 +158,9 @@ def _fwd_kernel(
         # K/V prefetch. Requires nq == nk and bq == bk (self-attention).
         # jpos is the position within the row (0 = the diagonal block,
         # which leads the row; see _tri_coords).
-        iq, ik, jpos = _tri_coords(pl.program_id(2), num_q_blocks)
+        iq, ik, jpos = _tri_coords(
+            pl.program_id(2), num_q_blocks, tri_descend
+        )
         is_first = jpos == 0
         is_last = jpos == iq
     elif band_grid:
@@ -706,7 +712,12 @@ def flash_attention_fwd(
             return (b_, h_, _tri_coords(t, num_q_blocks)[0], 0)
 
         def kv_index(b_, h_, t):
-            return (b_, h_ // group, _tri_coords(t, num_q_blocks)[1], 0)
+            return (
+                b_,
+                h_ // group,
+                _tri_coords(t, num_q_blocks, block_sizes.tri_descend)[1],
+                0,
+            )
     elif band_grid:
         grid = (b, h, _band_steps(num_q_blocks, band_wb))
 
@@ -890,6 +901,7 @@ def flash_attention_fwd(
         qk_int8=qk_int8,
         window_cell=window_cell,
         num_sinks=num_sinks,
+        tri_descend=block_sizes.tri_descend,
     )
 
     flops_mask = 0.5 if causal else 1.0
