@@ -104,8 +104,8 @@ def detect_band(blockmask, *, sq: int, sk: int, causal: bool):
     if not bm.any():
         return None
 
-    # --- per-row run decomposition -> (g, per-row band run) ---
-    g = None
+    # --- per-row run decomposition ---
+    g_fixed = None  # prefix width revealed by a 2-run row (must agree)
     rows = []
     for r in range(nr):
         act = np.flatnonzero(bm[r])
@@ -118,66 +118,91 @@ def detect_band(blockmask, *, sq: int, sk: int, causal: bool):
             if runs[0][0] != 0:
                 return None
             g_row = int(runs[0][-1]) + 1
-            if g is None:
-                g = g_row
-            elif g != g_row:
+            if g_fixed is None:
+                g_fixed = g_row
+            elif g_fixed != g_row:
                 return None
             rows.append((r, int(runs[1][0]), int(runs[1][-1])))
         else:
             rows.append((r, int(runs[0][0]), int(runs[0][-1])))
-    if g is None:
-        g = 0
 
-    # --- solve the element window (L, R) from the run edges ---
-    L_lo = R_lo = -np.inf
-    L_hi = R_hi = np.inf
-    for r, s0, e0 in rows:
-        a = r * CQ  # first element row of this cell row
-        b_ = a + CQ - 1  # last
-        if s0 <= g:
-            # Clamped at column 0 / merged into the global prefix:
-            # floor((a - L)/CK) <= max(s0 at 0 -> 0, g).
-            L_lo = max(L_lo, a - (g + 1) * CK + 1 if g else a - CK + 1)
-        else:
-            # Unclamped left edge: floor((a - L)/CK) == s0.
-            L_lo = max(L_lo, a - (s0 + 1) * CK + 1)
-            L_hi = min(L_hi, a - s0 * CK)
-        c_causal = b_ // CK if causal else np.inf
-        if e0 == nc - 1 or e0 == c_causal:
-            # Clamped at the grid edge / the causal staircase: the band
-            # hi merely has to reach it: floor((b_ + R)/CK) >= e0.
-            R_lo = max(R_lo, e0 * CK - b_)
-        else:
-            # Unclamped right edge: floor((b_ + R)/CK) == e0.
-            R_lo = max(R_lo, e0 * CK - b_)
-            R_hi = min(R_hi, (e0 + 1) * CK - b_ - 1)
-    if L_lo > L_hi or R_lo > R_hi:
-        return None
-    L = None if L_hi == np.inf else int(L_hi)
-    R = None if R_hi == np.inf else int(R_hi)
-    if (L is not None and L < 0) or (R is not None and R < 0):
-        return None
-    if L is None and R is None and g > 0:
-        return None  # pure-prefix masks are not a band
+    def solve(g):
+        """Solve (L, R) given a global-prefix width of g cells."""
+        L_lo = R_lo = -np.inf
+        L_hi = R_hi = np.inf
+        for r, s0, e0 in rows:
+            a = r * CQ  # first element row of this cell row
+            b_ = a + CQ - 1  # last
+            if g and s0 == 0 and e0 <= g - 1:
+                # Row shows exactly (part of) the prefix: the band is
+                # hidden inside it or empty here — its hi must not
+                # poke out: floor((b_ + R)/CK) <= g - 1. No L info.
+                R_hi = min(R_hi, g * CK - b_ - 1)
+                continue
+            if s0 <= g:
+                # Clamped at column 0 / merged into the prefix:
+                # floor((a - L)/CK) <= max(g, 0-clamp).
+                L_lo = max(L_lo,
+                           a - (g + 1) * CK + 1 if g else a - CK + 1)
+            else:
+                # Unclamped left edge: floor((a - L)/CK) == s0.
+                L_lo = max(L_lo, a - (s0 + 1) * CK + 1)
+                L_hi = min(L_hi, a - s0 * CK)
+            c_causal = b_ // CK if causal else np.inf
+            if e0 == nc - 1 or e0 == c_causal:
+                # Clamped at the grid edge / causal staircase: the band
+                # hi merely has to reach it: floor((b_ + R)/CK) >= e0.
+                R_lo = max(R_lo, e0 * CK - b_)
+            else:
+                # Unclamped right edge: floor((b_ + R)/CK) == e0.
+                R_lo = max(R_lo, e0 * CK - b_)
+                R_hi = min(R_hi, (e0 + 1) * CK - b_ - 1)
+        if L_lo > L_hi or R_lo > R_hi:
+            return None
+        L = None if L_hi == np.inf else int(L_hi)
+        R = None if R_hi == np.inf else int(R_hi)
+        if (L is not None and L < 0) or (R is not None and R < 0):
+            return None
+        if L is None and R is None and g > 0:
+            return None  # pure-prefix masks are not a band
+        return (L, R)
 
-    # --- authoritative reconstruction check ---
-    pred = np.zeros_like(bm)
-    for r in range(nr):
-        a = r * CQ
-        b_ = a + CQ - 1
-        lo = 0 if L is None else max((a - L) // CK, 0)
-        hi = nc - 1 if R is None else min((b_ + R) // CK, nc - 1)
-        if causal:
-            hi = min(hi, b_ // CK)
-        if lo <= hi:
-            pred[r, lo:hi + 1] = True
-        if g:
-            pred[r, :g] = True
+    def verify(L, R, g):
+        """Authoritative reconstruction check — a solver mistake can
+        only fail to route, never route wrongly."""
+        pred = np.zeros_like(bm)
+        for r in range(nr):
+            a = r * CQ
+            b_ = a + CQ - 1
+            lo = 0 if L is None else max((a - L) // CK, 0)
+            hi = nc - 1 if R is None else min((b_ + R) // CK, nc - 1)
             if causal:
-                pred[r] &= cc[0] * CK <= b_
-    if not np.array_equal(pred, bm):
-        return None
-    return (L, R, g * CK)
+                hi = min(hi, b_ // CK)
+            if lo <= hi:
+                pred[r, lo:hi + 1] = True
+            if g:
+                pred[r, :g] = True
+                if causal:
+                    pred[r] &= cc[0] * CK <= b_
+        return np.array_equal(pred, bm)
+
+    # Prefix-width candidates: fixed by a 2-run row if one exists; else
+    # ambiguous (the prefix may merge with the band in EVERY row) — try
+    # no prefix, then the narrowest row's extent (a band hidden inside
+    # the prefix there pins g to that width).
+    if g_fixed is not None:
+        candidates = [g_fixed]
+    else:
+        candidates = [0]
+        g_min = min(e0 for _, s0, e0 in rows if s0 == 0) + 1 \
+            if all(s0 == 0 for _, s0, _ in rows) else None
+        if g_min and g_min not in candidates:
+            candidates.append(g_min)
+    for g in candidates:
+        lr = solve(g)
+        if lr is not None and verify(lr[0], lr[1], g):
+            return (lr[0], lr[1], g * CK)
+    return None
 
 
 @dataclasses.dataclass(frozen=True)

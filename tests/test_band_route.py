@@ -111,6 +111,53 @@ def test_detect_band_rejects_non_bands():
     assert detect_band(tri, sq=sq, sk=sk, causal=False) is None
 
 
+def test_detect_band_roundtrip_fuzz():
+    """For ANY (L, R, g, causal) the cellified band must be detected with
+    parameters that reconstruct it exactly (the verifier makes a wrong
+    route impossible; this checks the solver does not MISS)."""
+    rng = np.random.default_rng(7)
+    sq = sk = 2048
+    for _ in range(40):
+        causal = bool(rng.integers(0, 2))
+        left = int(rng.integers(0, sk)) if rng.random() < 0.8 else None
+        right = (
+            None if causal or rng.random() < 0.3
+            else int(rng.integers(0, sk // 2))
+        )
+        sinks = int(rng.integers(0, 4)) * COL_CELL \
+            if rng.random() < 0.4 else 0
+        if left is None and right is None and not causal:
+            continue  # empty config: full mask, covered elsewhere
+        bm = _band_cells(sq, sk, causal=causal, left=left, right=right,
+                         sinks=sinks)
+        if not bm.any():
+            continue
+        route = detect_band(bm, sq=sq, sk=sk, causal=causal)
+        assert route is not None, (causal, left, right, sinks)
+        wl, wr, g = route
+        # Reconstruct with the detected parameters and compare.
+        nr, nc2 = bm.shape
+        r = np.arange(nr)[:, None] * ROW_CELL
+        b_ = r + ROW_CELL - 1
+        cc = np.arange(nc2)[None, :]
+        lo = np.zeros_like(r) if wl is None else np.maximum(
+            (r - wl) // COL_CELL, 0)
+        hi = np.full_like(r, nc2 - 1) if wr is None else np.minimum(
+            (b_ + wr) // COL_CELL, nc2 - 1)
+        if causal:
+            hi = np.minimum(hi, b_ // COL_CELL)
+        pred = (cc >= lo) & (cc <= hi)
+        pred |= cc < g // COL_CELL
+        if causal:
+            pred &= cc * COL_CELL <= b_
+        bm_eff = bm.copy()
+        if causal:
+            bm_eff &= (np.arange(nr)[:, None] + 1) * ROW_CELL - 1 >= (
+                cc * COL_CELL)
+        assert np.array_equal(pred, bm_eff), (causal, left, right, sinks,
+                                              route)
+
+
 def test_build_layout_stores_band_route():
     sq = sk = 2048
     bm = _band_cells(sq, sk, causal=True, left=900)
